@@ -1,0 +1,19 @@
+"""docwire_spark — a PySpark-native document/web-text extraction engine.
+
+A brand-new implementation of the per-document extraction semantics of the
+DocWire SDK (reference: silver-byte/docwire), re-expressed Spark-first:
+
+- ``kernel``   — pure-Python, dependency-light extraction kernels
+  (HTML5 tokenizer + DOM + whitespace machine, plain-text renderer,
+  charset normalization, MIME sniffing, TXT/XML/PDF parsers).  These run
+  *inside* vectorized ``mapInPandas`` UDFs; no Spark imports here.
+- ``spark``    — the distributed shell: url-hash sharding, skew salting,
+  oversize-row isolation, per-partition lineage/metrics, idempotent
+  checkpointed writes, synthetic Common-Crawl-style corpus generator.
+- ``functions``— training-data-pipeline operators over extracted text:
+  dedup (exact / minhash-LSH / simhash / n-gram jaccard), similarity
+  search over embeddings, language id, quality scoring, tokenization,
+  fingerprinting.
+"""
+
+__version__ = "0.1.0"

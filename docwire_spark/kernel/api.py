@@ -1,0 +1,90 @@
+"""Single-document extraction API used by the Spark layer.
+
+``extract(data, url)`` = the reference pipeline
+``content_type::detector | office_formats_parser | plain_text_exporter``
+(reference: src/office_formats_parser.h:45-58 dispatch; each parser
+gates on its supported mime types) collapsed into one function call.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from docwire_spark.kernel import events as E
+from docwire_spark.kernel.charset import ensure_html_utf8
+from docwire_spark.kernel.html_extract import html_to_events
+from docwire_spark.kernel.renderer import render_plain_text
+from docwire_spark.kernel.sniff import CONFIDENCE_NAMES, detect_mime
+from docwire_spark.kernel.txt_extract import txt_to_events
+from docwire_spark.kernel.xml_extract import xml_to_events
+
+HTML_MIMES = frozenset(
+    ("text/html", "application/xhtml+xml", "application/vnd.pwg-xhtml-print+xml")
+)
+XML_MIMES = frozenset(("application/xml", "text/xml"))
+PDF_MIMES = frozenset(("application/pdf",))
+TXT_MIMES = frozenset(
+    """text/x-asm text/asp text/aspdotnet text/x-basic text/x-bat text/x-c
+    text/x-cmake text/x-csharp text/css text/csv text/x-d text/x-fortran
+    text/x-fsharp text/x-go text/x-c++hdr text/html text/x-java-source
+    application/javascript text/javascript application/json text/x-jsp
+    text/x-lua text/markdown text/x-pascal application/x-httpd-php
+    text/x-perl text/x-python text/x-rsrc application/rss+xml
+    application/x-sh application/x-tcl text/plain text/x-vbdotnet
+    text/x-vbscript application/xml text/yaml""".split()
+)
+
+SNIFF_PREFIX_BYTES = 4096
+
+
+@dataclass
+class ExtractResult:
+    url: str = ""
+    mime: str = ""
+    mime_confidence: str = ""
+    text: bytes = b""
+    spans: list = field(default_factory=list)
+    meta: dict = field(default_factory=dict)
+    error: str | None = None
+    n_events: int = 0
+
+
+def extract(data: bytes, url: str = "") -> ExtractResult:
+    res = ExtractResult(url=url)
+    try:
+        mime, conf = detect_mime(data[:SNIFF_PREFIX_BYTES], url)
+        res.mime = mime
+        res.mime_confidence = CONFIDENCE_NAMES[conf]
+        events, meta = _parse_by_mime(data, mime)
+        res.meta = meta or {}
+        res.n_events = sum(
+            1 for k, _ in events if k not in (E.DOCUMENT, E.CLOSE_DOCUMENT)
+        )
+        text, spans = render_plain_text(events)
+        res.text = text
+        res.spans = spans
+    except Exception as exc:  # per-row error capture (no continuation::stop)
+        res.error = f"{type(exc).__name__}: {exc}"
+    return res
+
+
+def _parse_by_mime(data: bytes, mime: str):
+    if mime in HTML_MIMES:
+        text = ensure_html_utf8(data)
+        return html_to_events(text)
+    if mime in PDF_MIMES:
+        from docwire_spark.kernel.pdf import pdf_to_events
+
+        return pdf_to_events(data)
+    if mime in XML_MIMES:
+        return xml_to_events(data), {}
+    if mime in TXT_MIMES:
+        return txt_to_events(data), {}
+    raise ValueError(f"unsupported mime type: {mime}")
+
+
+def extract_events(data: bytes, url: str = ""):
+    """Events-level API (for tests mirroring the reference's unit
+    tests on collected message streams)."""
+    mime, _conf = detect_mime(data[:SNIFF_PREFIX_BYTES], url)
+    return _parse_by_mime(data, mime)

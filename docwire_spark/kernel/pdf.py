@@ -1,0 +1,154 @@
+"""PDF -> events (reference: src/pdf_parser.cpp).
+
+Pure-Python PDF content-stream text extractor (PDFium is not available
+in this environment).  Implements the same page-element model: text
+objects with (x, y, width, height, font_size), sorted by the adaptive
+y-tolerance comparator (descending y, then ascending x; tolerance =
+max(2.0, 0.40 * max char-height), pdf_parser.cpp:180-219), then
+inter-element whitespace synthesis (pdf_parser.cpp:396-510):
+
+- y_diff > 0.65*max_line_height -> round(y_diff/max_line_height)>=1
+  break_lines
+- x going backwards on the same line -> one break_line
+- text/text horizontal gap > font_size/3.5 (>=1.0) -> single space
+  unless either side already has one
+
+Implemented in :mod:`docwire_spark.kernel.pdfminer_lite`; this module
+wires it to the event vocabulary.
+"""
+
+from __future__ import annotations
+
+import math
+
+from docwire_spark.kernel import events as E
+from docwire_spark.kernel.pdfminer_lite import PdfDocument, PdfError
+
+
+def _characteristic_height(el) -> float:
+    # el: (text, x, y, w, h, font_size); images not extracted (no pdfium)
+    h = 10.0
+    if el[5] and el[5] > 0:
+        h = el[5]
+    elif el[4] and el[4] > 0:
+        h = el[4]
+    return max(1.0, h)
+
+
+def _sort_elements(elements):
+    """Replicates the std::multiset ordering with the adaptive-tolerance
+    comparator via insertion sort (the comparator is not a strict weak
+    order globally, so a plain key sort can differ; multiset insertion
+    order must be reproduced)."""
+    result = []
+    for el in elements:
+        lo, hi = 0, len(result)
+        # multiset::insert places equal elements after existing ones:
+        # find first position where result[pos] > el (el < result[pos])
+        # scanning upper bound with the comparator
+        pos = len(result)
+        for i, other in enumerate(result):
+            if _less(el, other):
+                pos = i
+                break
+        result.insert(pos, el)
+    return result
+
+
+def _less(lhs, rhs) -> bool:
+    y_l, y_r = lhs[2], rhs[2]
+    if y_l is None and y_r is None:
+        return False
+    if y_l is None:
+        return False
+    if y_r is None:
+        return True
+    tol = max(2.0, max(_characteristic_height(lhs), _characteristic_height(rhs)) * 0.40)
+    if abs(y_l - y_r) > tol:
+        return y_l > y_r
+    x_l, x_r = lhs[1], rhs[1]
+    if x_l is None and x_r is None:
+        return False
+    if x_l is None:
+        return False
+    if x_r is None:
+        return True
+    return x_l < x_r
+
+
+def _space_threshold(el) -> float:
+    v = 2.0
+    if el[5] and el[5] > 0:
+        v = el[5] / 3.5
+    elif el[4] and el[4] > 0:
+        v = el[4] / 3.0
+    return max(1.0, v)
+
+
+def _effective_line_height(el) -> float:
+    h = 10.0
+    if el[5] and el[5] > 0:
+        h = el[5]
+    elif el[4] and el[4] > 0:
+        h = el[4]
+    return max(1.0, h)
+
+
+def _ends_ws(s: str) -> bool:
+    return bool(s) and s[-1] in " \t\n\r\x0b\x0c"
+
+
+def _begins_ws(s: str) -> bool:
+    return bool(s) and s[0] in " \t\n\r\x0b\x0c"
+
+
+def pdf_to_events(data: bytes):
+    doc = PdfDocument(data)
+    events = [(E.DOCUMENT, None)]
+    meta = doc.metadata()
+    for page in doc.pages():
+        events.append((E.PAGE, None))
+        elements = _sort_elements(page.text_elements())
+        prev = None
+        for el in elements:
+            if prev is not None:
+                _synthesize_whitespace(events, prev, el)
+            events.append((E.TEXT, el[0]))
+            prev = el
+        events.append((E.CLOSE_PAGE, None))
+    events.append((E.CLOSE_DOCUMENT, None))
+    return events, meta
+
+
+def _synthesize_whitespace(events, prev, cur):
+    # elements: (text, x, y, w, h, font_size)
+    if (
+        prev[2] is None or prev[4] is None or prev[1] is None or prev[3] is None
+        or cur[2] is None or cur[4] is None or cur[1] is None
+    ):
+        return
+    prev_yc = prev[2] + prev[4] / 2.0
+    cur_yc = cur[2] + cur[4] / 2.0
+    y_diff = prev_yc - cur_yc
+    max_h = max(_effective_line_height(prev), _effective_line_height(cur))
+    single_nl = max_h * 0.65
+    if y_diff > single_nl:
+        n = int(round_half_away(y_diff / max_h))
+        if n < 1:
+            n = 1
+        for _ in range(n):
+            events.append((E.BREAK_LINE, None))
+    elif cur[1] < prev[1] and abs(y_diff) < single_nl:
+        events.append((E.BREAK_LINE, None))
+    else:
+        # both are text (images are not extracted in this build)
+        threshold = _space_threshold(cur)
+        x_gap = cur[1] - (prev[1] + prev[3])
+        if x_gap > threshold and not _ends_ws(prev[0]) and not _begins_ws(cur[0]):
+            events.append((E.TEXT, " "))
+
+
+def round_half_away(x: float) -> float:
+    """C std::round semantics (half away from zero), unlike Python's
+    banker's rounding."""
+    return math.floor(x + 0.5) if x >= 0 else math.ceil(x - 0.5)

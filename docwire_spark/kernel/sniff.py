@@ -1,0 +1,156 @@
+"""Content-type detection: magic bytes + url extension + HTML sniff.
+
+Reimplements the reference's detector cascade semantics
+(reference: src/content_type.cpp:27-39) with an own magic-byte table in
+place of libmagic, tuned for a Common-Crawl-style corpus:
+
+- extension table at confidence HIGH (by_file_extension.cpp:1319-1337)
+- magic signatures at VERY_HIGH (by_signature.cpp:57-83, incl. its
+  text/xml->application/xml and image/x-ms-bmp->image/bmp quirks)
+- HTML sniff: '<html' / '<HTML' in first 1024 bytes -> text/html at
+  HIGHEST (content_type_html.cpp:17-29)
+- highest-confidence mime wins, alphabetical tie-break
+  (data_source.h:240-255)
+
+Confidence scale: none=0 low=1 medium=2 high=3 very_high=4 highest=5.
+"""
+
+from __future__ import annotations
+
+NONE, LOW, MEDIUM, HIGH, VERY_HIGH, HIGHEST = range(6)
+
+EXTENSION_MIME = {
+    "html": "text/html",
+    "htm": "text/html",
+    "xhtml": "application/xhtml+xml",
+    "pdf": "application/pdf",
+    "txt": "text/plain",
+    "text": "text/plain",
+    "md": "text/markdown",
+    "csv": "text/csv",
+    "css": "text/css",
+    "js": "text/javascript",
+    "json": "application/json",
+    "xml": "application/xml",
+    "rss": "application/rss+xml",
+    "yaml": "text/yaml",
+    "yml": "text/yaml",
+    "py": "text/x-python",
+    "sh": "application/x-sh",
+    "c": "text/x-c",
+    "h": "text/x-c++hdr",
+    "java": "text/x-java-source",
+    "php": "application/x-httpd-php",
+    "rtf": "application/rtf",
+    "eml": "message/rfc822",
+    "zip": "application/zip",
+    "gz": "application/gzip",
+    "bz2": "application/x-bzip2",
+    "xz": "application/x-xz",
+    "tar": "application/x-tar",
+    "png": "image/png",
+    "jpg": "image/jpeg",
+    "jpeg": "image/jpeg",
+    "gif": "image/gif",
+    "webp": "image/webp",
+    "bmp": "image/bmp",
+    "svg": "image/svg+xml",
+    "ico": "image/vnd.microsoft.icon",
+}
+
+_MAGIC = [
+    (b"%PDF-", "application/pdf"),
+    (b"\x1f\x8b", "application/gzip"),
+    (b"BZh", "application/x-bzip2"),
+    (b"\xfd7zXZ\x00", "application/x-xz"),
+    (b"PK\x03\x04", "application/zip"),
+    (b"PK\x05\x06", "application/zip"),
+    (b"\x89PNG\r\n\x1a\n", "image/png"),
+    (b"\xff\xd8\xff", "image/jpeg"),
+    (b"GIF87a", "image/gif"),
+    (b"GIF89a", "image/gif"),
+    (b"BM", "image/bmp"),
+    (b"{\\rtf", "application/rtf"),
+    (b"%!PS", "application/postscript"),
+    (b"\x7fELF", "application/x-executable"),
+    (b"SQLite format 3\x00", "application/vnd.sqlite3"),
+]
+
+
+def _looks_binary(prefix: bytes) -> bool:
+    if not prefix:
+        return False
+    sample = prefix[:512]
+    n_ctl = sum(1 for b in sample if b < 9 or (13 < b < 32 and b != 27))
+    return b"\x00" in sample or n_ctl > len(sample) // 10
+
+
+def detect_mime(data_prefix: bytes, url: str = "") -> tuple:
+    """Return (mime, confidence) for a document.
+
+    ``data_prefix`` needs only the first 4 KiB (the reference also
+    sniffs bounded prefixes: 1 KiB html, 4 KiB zip).
+    """
+    mimes = {}  # mime -> confidence (max)
+
+    def add(mime, conf):
+        if mime and mimes.get(mime, -1) < conf:
+            mimes[mime] = conf
+
+    # 1. by extension (HIGH; .doc/.xls would be MEDIUM, out of scope)
+    if url:
+        path = url.split("?", 1)[0].split("#", 1)[0]
+        seg = path.rstrip("/").rsplit("/", 1)[-1]
+        if "." in seg:
+            ext = seg.rsplit(".", 1)[-1].lower()
+            add(EXTENSION_MIME.get(ext), HIGH)
+
+    # 2. by signature (VERY_HIGH), skipped if already >= HIGH
+    if not mimes or max(mimes.values()) < HIGH:
+        sig_hit = False
+        for sig, mime in _MAGIC:
+            if data_prefix.startswith(sig):
+                add(mime, VERY_HIGH)
+                sig_hit = True
+                break
+        if not sig_hit:
+            head = data_prefix[:1024]
+            hl = head.lstrip(b"\xef\xbb\xbf \t\r\n").lower()
+            if hl.startswith(b"<?xml"):
+                add("application/xml", VERY_HIGH)
+            elif hl.startswith(b"<!doctype html") or hl.startswith(b"<html"):
+                add("text/html", VERY_HIGH)
+            elif hl.startswith(b"{") or hl.startswith(b"["):
+                add("application/json" if _is_jsonish(head) else "text/plain", LOW)
+            if not _looks_binary(data_prefix):
+                add("text/plain", LOW)
+            else:
+                add("application/octet-stream", LOW)
+
+    # 3. html refinement (HIGHEST) if mime is xml-ish/html-ish or empty
+    xmlish_ok = not mimes or any(
+        mimes.get(m, NONE) >= MEDIUM
+        for m in ("text/xml", "application/xml", "text/html", "application/xhtml+xml")
+    )
+    if xmlish_ok:
+        head = data_prefix[:1024]
+        if b"<html" in head or b"<HTML" in head:
+            add("text/html", HIGHEST)
+
+    if not mimes:
+        return ("application/octet-stream", LOW)
+    # highest confidence wins; alphabetical tie-break (data_source.h:240-255)
+    best_conf = max(mimes.values())
+    best = sorted(m for m, c in mimes.items() if c == best_conf)[0]
+    return (best, best_conf)
+
+
+def _is_jsonish(head: bytes) -> bool:
+    stripped = head.strip()
+    return stripped[:1] in (b"{", b"[") and (b'"' in stripped or stripped in (b"{}", b"[]"))
+
+
+CONFIDENCE_NAMES = {
+    NONE: "none", LOW: "low", MEDIUM: "medium",
+    HIGH: "high", VERY_HIGH: "very_high", HIGHEST: "highest",
+}
