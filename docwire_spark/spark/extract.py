@@ -1,0 +1,202 @@
+"""The distributed extraction job.
+
+Pipeline (north-rule shape):
+
+    pages(url, warc_ts, html, text, lang)
+      -> oversize split  (length(html) > threshold -> low-fanout branch)
+      -> url-hash sharding  repartition(N, xxhash64(url))
+      -> mapInPandas(extract_batch)   # Arrow batches, no per-row Python
+      -> union(oversize branch)
+      -> results(url, mime, mime_confidence, extracted_text, spans,
+                 meta, error, n_events, bytes_in, partition_id, bucket)
+      -> metrics = groupBy(partition_id) aggregation
+      -> checkpointed idempotent write (lineage.py)
+
+Skew handling: a host-level salt key helper for host-grouped
+operations (extraction itself shards by url hash, which is uniform;
+hosts are only skewed when you group by them).
+
+Scale notes (100 TB posture):
+- only ``html`` + ``url`` are read by the extraction scan (column
+  pruning: select before mapInPandas so parquet never materializes
+  unused columns)
+- the oversize branch bounds Arrow batch memory: one 256 KiB+ row per
+  batch slot can blow a 512-row batch; the branch repartitions wide and
+  processes with its own (small) batch budget
+- mapInPandas streams batches; per-batch Python cost is amortized over
+  the Arrow transfer (no per-row pickling)
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    ArrayType, BinaryType, IntegerType, LongType, StringType, StructField,
+    StructType,
+)
+
+OVERSIZE_BYTES = 262_144  # 256 KiB: rows above this get the low-fanout branch
+DEFAULT_SHARDS = 128
+
+SPAN_TYPE = ArrayType(
+    StructType(
+        [
+            StructField("start", LongType()),
+            StructField("end", LongType()),
+            StructField("kind", StringType()),
+        ]
+    )
+)
+
+RESULT_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("mime", StringType()),
+        StructField("mime_confidence", StringType()),
+        StructField("extracted_text", StringType()),
+        StructField("extracted_bytes", BinaryType()),
+        StructField("spans", SPAN_TYPE),
+        StructField("meta_json", StringType()),
+        StructField("error", StringType()),
+        StructField("n_events", IntegerType()),
+        StructField("bytes_in", LongType()),
+        StructField("partition_id", IntegerType()),
+    ]
+)
+
+
+def _extract_batches(iterator):
+    """mapInPandas body: runs the pure-Python kernel per Arrow batch.
+
+    Imports live inside so the function ships cleanly to executors via
+    --py-files.
+    """
+    import pandas as pd
+    from pyspark import TaskContext
+
+    from docwire_spark.kernel.api import extract
+
+    tc = TaskContext.get()
+    pid = tc.partitionId() if tc is not None else -1
+
+    for pdf in iterator:
+        urls = pdf["url"].tolist()
+        htmls = pdf["html"].tolist()
+        out = {
+            "url": urls,
+            "mime": [],
+            "mime_confidence": [],
+            "extracted_text": [],
+            "extracted_bytes": [],
+            "spans": [],
+            "meta_json": [],
+            "error": [],
+            "n_events": [],
+            "bytes_in": [],
+            "partition_id": [pid] * len(urls),
+        }
+        for url, html in zip(urls, htmls):
+            data = bytes(html) if html is not None else b""
+            res = extract(data, url=url or "")
+            out["mime"].append(res.mime)
+            out["mime_confidence"].append(res.mime_confidence)
+            out["extracted_text"].append(res.text.decode("utf-8", "replace"))
+            out["extracted_bytes"].append(res.text)
+            out["spans"].append(
+                [
+                    {"start": s, "end": e, "kind": k}
+                    for s, e, k in res.spans
+                ]
+            )
+            out["meta_json"].append(
+                json.dumps(res.meta, default=str, sort_keys=True)
+                if res.meta
+                else None
+            )
+            out["error"].append(res.error)
+            out["n_events"].append(res.n_events)
+            out["bytes_in"].append(len(data))
+        yield pd.DataFrame(out)
+
+
+def extract_pages(
+    pages: DataFrame,
+    n_shards: int = DEFAULT_SHARDS,
+    oversize_bytes: int = OVERSIZE_BYTES,
+    with_binary: bool = False,
+) -> DataFrame:
+    """Run the extraction pipeline; returns the results DataFrame.
+
+    ``bucket`` is a deterministic url-hash bucket (stable across runs
+    and cluster sizes) used by the checkpointed writer for resume.
+    """
+    src = pages.select("url", "html")
+
+    is_oversized = F.length(F.col("html")) > F.lit(oversize_bytes)
+    normal = src.filter(~is_oversized).repartition(
+        n_shards, F.xxhash64(F.col("url"))
+    )
+    # low-fanout branch: few rows, each huge; 4x partitions of the
+    # leftover shard budget keeps at most a handful of giant rows per task
+    oversized = src.filter(is_oversized).repartition(
+        max(4, n_shards // 4), F.xxhash64(F.col("url"))
+    )
+
+    extracted = normal.mapInPandas(_extract_batches, RESULT_SCHEMA).unionByName(
+        oversized.mapInPandas(_extract_batches, RESULT_SCHEMA)
+    )
+    extracted = extracted.withColumn(
+        "bucket", F.pmod(F.xxhash64(F.col("url")), F.lit(n_shards)).cast("int")
+    )
+    if not with_binary:
+        extracted = extracted.drop("extracted_bytes")
+    return extracted
+
+
+def salted_host_key(df: DataFrame, host_col: str = "host",
+                    skew_threshold: int = 10_000, salt_buckets: int = 16,
+                    url_col: str = "url") -> DataFrame:
+    """Add a deterministic ``salted_host`` key for host-grouped work.
+
+    Hosts with more than ``skew_threshold`` rows get ``salt_buckets``
+    sub-keys (salt = xxhash64(url) % k, no randomness -> reproducible).
+    The skew map is tiny (only hot hosts) and broadcast.
+    """
+    counts = (
+        df.groupBy(host_col)
+        .count()
+        .filter(F.col("count") > skew_threshold)
+        .select(host_col, F.lit(salt_buckets).alias("k_host"))
+    )
+    out = df.join(F.broadcast(counts), on=host_col, how="left")
+    salt = F.when(
+        F.col("k_host").isNotNull(),
+        F.pmod(F.xxhash64(F.col(url_col)), F.col("k_host")),
+    ).otherwise(F.lit(0))
+    return out.withColumn(
+        "salted_host", F.concat_ws("#", F.col(host_col), salt.cast("string"))
+    ).drop("k_host")
+
+
+def with_host(df: DataFrame, url_col: str = "url") -> DataFrame:
+    return df.withColumn("host", F.parse_url(F.col(url_col), F.lit("HOST")))
+
+
+def metrics_by_partition(extracted: DataFrame) -> DataFrame:
+    """Per-partition lineage/metrics rows (reference analog:
+    message_counters, here aggregated JVM-side by Catalyst)."""
+    return (
+        extracted.groupBy("partition_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("error").isNull(), 1).otherwise(0)).alias("n_ok"),
+            F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0)).alias(
+                "n_failed"
+            ),
+            F.sum("bytes_in").alias("bytes_in"),
+            F.sum("n_events").alias("n_events"),
+        )
+        .orderBy("partition_id")
+    )

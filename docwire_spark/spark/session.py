@@ -1,0 +1,77 @@
+"""SparkSession construction with the engine's standard tuning.
+
+Scale posture (for a multi-executor cluster; local[N] here is a
+single-JVM proxy):
+- AQE on (runtime re-plan + skew-join splitting)
+- Arrow batches bounded so one batch of large HTML rows stays inside
+  executor memory (oversized rows additionally get their own branch,
+  see extract.py)
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import zipfile
+
+from pyspark.sql import SparkSession
+
+ARROW_MAX_RECORDS = 512  # HTML rows are fat; bound the Arrow batch row count
+
+
+def package_zip(path: str | None = None) -> str:
+    """Zip the docwire_spark package for --py-files / addPyFile."""
+    import docwire_spark
+
+    pkg_dir = os.path.dirname(os.path.abspath(docwire_spark.__file__))
+    if path is None:
+        path = os.path.join(tempfile.gettempdir(), "docwire_spark_pyfiles.zip")
+    with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as zf:
+        for root, _dirs, files in os.walk(pkg_dir):
+            if "__pycache__" in root:
+                continue
+            for fn in files:
+                if not fn.endswith(".py"):
+                    continue
+                full = os.path.join(root, fn)
+                rel = os.path.join(
+                    "docwire_spark", os.path.relpath(full, pkg_dir)
+                )
+                zf.write(full, rel)
+    return path
+
+
+def ship_package(spark: SparkSession) -> None:
+    """Make docwire_spark importable on executors regardless of the
+    driver's cwd (equivalent of spark-submit --py-files)."""
+    spark.sparkContext.addPyFile(package_zip())
+
+
+def build_session(
+    master: str | None = None,
+    app_name: str = "docwire_spark",
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or f"local[{cpus}]"
+    shuffle_partitions = shuffle_partitions or int(cpus) if str(cpus).isdigit() else 32
+    b = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_MAX_RECORDS)
+        )
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    ship_package(spark)
+    return spark
