@@ -1,38 +1,98 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` / ``oracle_sql()`` pairs cover the operator inventory
+from SURVEY.md §2 plus the training-data ops (dedup, similarity
+search, text analysis, multimodal plumbing).  The ``extract_*``
+queries run the REAL distributed extraction pipeline (url-hash
+sharding -> mapInPandas kernel) and their oracles reconstruct the
+expected bytes analytically — a byte-identity gate through DuckDB.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.001"
+
+
+def _ship(spark: SparkSession) -> None:
+    """Make docwire_spark importable on executors (mapInPandas body
+    imports the kernel there)."""
+    try:
+        from docwire_spark.spark.session import ship_package
+
+        ship_package(spark)
+    except Exception:
+        pass  # already shipped, or PYTHONPATH already covers the repo
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full extraction pipeline (sniff -> charset -> HTML5
+    DOM -> whitespace machine -> plain-text render) over a pages table
+    synthesized from sf0.001 documents, via oversize-split + url-hash
+    sharding + mapInPandas."""
+    _ship(spark)
+    from pyspark.sql import functions as F
+
+    from docwire_spark.ops.common import load
+    from docwire_spark.spark.extract import extract_pages
+
+    docs = load(spark, DEFAULT_SF_DIR, "documents")
+    pages = docs.select(
+        F.concat(F.lit("https://synth.local/d/"), F.col("doc_id").cast("string"))
+        .alias("url"),
+        F.encode(
+            F.concat(
+                F.lit("<html><head><title>d</title></head><body><p>"),
+                F.col("text"),
+                F.lit("</p></body></html>"),
+            ),
+            "UTF-8",
+        ).alias("html"),
+    )
+    res = extract_pages(pages, n_shards=16)
+    return res.select(
+        "url", "mime", "mime_confidence", "extracted_text", "n_events",
+        "bytes_in", "bucket", "error",
+    )
+
+
+def _wrap(fn: Callable) -> Callable:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _ship(spark)
+        return fn(spark, sf_dir)
+
+    return run
+
+
+def _collect():
+    from docwire_spark.ops import (
+        dedup, extraction, multimodal, relational, similarity, textstats,
+    )
+
+    modules = (extraction, textstats, dedup, similarity, multimodal, relational)
+    q: dict[str, Callable] = {}
+    o: dict[str, str] = {}
+    for m in modules:
+        for name, fn in m.QUERIES.items():
+            q[name] = _wrap(fn)
+        o.update(m.ORACLES)
+    return q, o
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    q, _ = _collect()
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    _, o = _collect()
+    return o

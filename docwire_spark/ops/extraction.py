@@ -1,0 +1,165 @@
+"""End-to-end extraction queries with SQL oracles.
+
+Each query synthesizes the north-rule pages table
+``(url, html BINARY, ...)`` from ``documents.text`` with a known HTML
+template, runs the REAL distributed pipeline
+(``extract.extract_pages``: oversize split -> url-hash repartition ->
+mapInPandas kernel), and the DuckDB oracle reconstructs the expected
+extracted bytes analytically from the template + the reference's
+rendering rules (SURVEY.md §2.5.1) — so the driver's hash compare is a
+byte-identity gate on the whole Spark extraction path:
+
+- ``extract_plain``  <p>text</p>             -> collapsed text + "\\n\\n"
+- ``extract_rich``   link + ordered list      -> "<url>..." + "N. item"
+- ``extract_table``  2x2 table                -> padded grid render
+
+``documents.text`` is pure ``[a-z0-9 .,]`` ASCII (verified), so no
+HTML-escaping or charset ambiguity enters the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from docwire_spark.ops.common import TOKENS_EXPR, TOKENS_SQL, load
+from docwire_spark.spark.extract import extract_pages
+
+_URL_PREFIX = "https://synth.local/d/"
+
+
+def _run_kernel(pages: DataFrame, extra_cols=()) -> DataFrame:
+    res = extract_pages(pages, n_shards=16)
+    return res.select(
+        F.element_at(F.split("url", "/"), -1).cast("bigint").alias("doc_id"),
+        *extra_cols,
+        "extracted_text",
+    )
+
+
+def extract_plain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    pages = docs.select(
+        F.concat(F.lit(_URL_PREFIX), F.col("doc_id").cast("string")).alias("url"),
+        F.encode(
+            F.concat(
+                F.lit("<html><head><title>d</title></head><body><p>"),
+                F.col("text"),
+                F.lit("</p></body></html>"),
+            ),
+            "UTF-8",
+        ).alias("html"),
+    )
+    return _run_kernel(pages, extra_cols=["mime"])
+
+
+EXTRACT_PLAIN_SQL = """
+SELECT doc_id, 'text/html' AS mime,
+       trim(regexp_replace(text, ' +', ' ', 'g')) || chr(10) || chr(10)
+         AS extracted_text
+FROM documents
+"""
+
+
+def extract_rich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "tokens", F.expr(TOKENS_EXPR)
+    )
+    docs = docs.filter(F.size("tokens") >= 2)
+    did = F.col("doc_id").cast("string")
+    t1 = F.expr("element_at(tokens, 1)")
+    t2 = F.expr("element_at(tokens, 2)")
+    pages = docs.select(
+        F.concat(F.lit(_URL_PREFIX), did).alias("url"),
+        F.encode(
+            F.concat(
+                F.lit('<html><body><p><a href="https://ex.com/'),
+                did,
+                F.lit('">ref '),
+                did,
+                F.lit("</a> intro</p><ol><li>"),
+                t1,
+                F.lit("</li><li>"),
+                t2,
+                F.lit("</li></ol></body></html>"),
+            ),
+            "UTF-8",
+        ).alias("html"),
+    )
+    return _run_kernel(pages)
+
+
+EXTRACT_RICH_SQL = f"""
+WITH t AS (
+  SELECT doc_id, {TOKENS_SQL} AS tokens FROM documents
+)
+SELECT doc_id,
+       '<https://ex.com/' || doc_id || '>ref ' || doc_id || ' intro'
+         || chr(10) || chr(10)
+         || '1. ' || tokens[1] || chr(10)
+         || '2. ' || tokens[2] || chr(10) || chr(10) AS extracted_text
+FROM t
+WHERE len(tokens) >= 2
+"""
+
+
+def extract_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "tokens", F.expr(TOKENS_EXPR)
+    )
+    docs = docs.filter(F.size("tokens") >= 4)
+    cells = [F.expr(f"element_at(tokens, {i})") for i in (1, 2, 3, 4)]
+    pages = docs.select(
+        F.concat(
+            F.lit(_URL_PREFIX), F.col("doc_id").cast("string")
+        ).alias("url"),
+        F.encode(
+            F.concat(
+                F.lit("<html><body><table><tr><td>"),
+                cells[0],
+                F.lit("</td><td>"),
+                cells[1],
+                F.lit("</td></tr><tr><td>"),
+                cells[2],
+                F.lit("</td><td>"),
+                cells[3],
+                F.lit("</td></tr></table></body></html>"),
+            ),
+            "UTF-8",
+        ).alias("html"),
+    )
+    return _run_kernel(pages)
+
+
+# grid render (plain_text_writer.cpp:442-607): global column width =
+# max cell width (cap 1000); each cell right-padded to width, +2-space
+# gutter except after the last column; one line per row; close_document
+# adds the final newline
+EXTRACT_TABLE_SQL = f"""
+WITH t AS (
+  SELECT doc_id, {TOKENS_SQL} AS tokens FROM documents
+),
+c AS (
+  SELECT doc_id,
+         tokens[1] AS t1, tokens[2] AS t2, tokens[3] AS t3, tokens[4] AS t4,
+         CAST(greatest(length(tokens[1]), length(tokens[2]),
+                       length(tokens[3]), length(tokens[4])) AS INTEGER) AS w
+  FROM t WHERE len(tokens) >= 4
+)
+SELECT doc_id,
+       rpad(t1, w + 2, ' ') || rpad(t2, w, ' ') || chr(10)
+         || rpad(t3, w + 2, ' ') || rpad(t4, w, ' ') || chr(10) || chr(10)
+         AS extracted_text
+FROM c
+"""
+
+QUERIES = {
+    "extract_plain": extract_plain,
+    "extract_rich": extract_rich,
+    "extract_table": extract_table,
+}
+
+ORACLES = {
+    "extract_plain": EXTRACT_PLAIN_SQL,
+    "extract_rich": EXTRACT_RICH_SQL,
+    "extract_table": EXTRACT_TABLE_SQL,
+}

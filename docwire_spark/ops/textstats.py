@@ -1,0 +1,218 @@
+"""Text-analysis operators over the ``documents`` table.
+
+Language-ID (stopword n-gram heuristic), quality scoring, token
+counting (whitespace + BPE-ish regex), and document fingerprinting.
+All computed with built-in JVM-side Catalyst expressions — no Python
+UDFs — so the whole plan stays inside whole-stage codegen and scales
+linearly with input splits (no shuffle except the final exchange the
+driver's collect implies).
+
+Every query has a DuckDB oracle implementing the identical spec.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from docwire_spark.ops.common import (
+    BPE_EXPR, BPE_SQL, TOKENS_EXPR, TOKENS_SQL, load, with_tokens,
+)
+
+# ---------------------------------------------------------------------------
+# token / char statistics
+# ---------------------------------------------------------------------------
+
+
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = with_tokens(load(spark, sf_dir, "documents"))
+    return docs.select(
+        "doc_id",
+        F.size("tokens").cast("bigint").alias("n_tokens"),
+        F.length("text").cast("bigint").alias("n_chars"),
+        F.round(
+            F.expr(
+                "aggregate(transform(tokens, t -> length(t)), 0L,"
+                " (acc, x) -> acc + x)"
+            ).cast("double")
+            / F.size("tokens"),
+            6,
+        ).alias("avg_token_len"),
+        F.size(F.expr(BPE_EXPR)).cast("bigint").alias("n_bpe_tokens"),
+    )
+
+
+TOKEN_STATS_SQL = f"""
+SELECT doc_id,
+       CAST(len({TOKENS_SQL}) AS BIGINT) AS n_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       round(CAST(list_sum(list_transform({TOKENS_SQL}, t -> length(t)))
+                  AS DOUBLE) / len({TOKENS_SQL}), 6) AS avg_token_len,
+       CAST(len({BPE_SQL}) AS BIGINT) AS n_bpe_tokens
+FROM documents
+"""
+
+# ---------------------------------------------------------------------------
+# quality scoring
+# ---------------------------------------------------------------------------
+
+_STOP_EN = "'the','a','and','of','to','in','is','it','on','for'"
+
+
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = with_tokens(load(spark, sf_dir, "documents"))
+    n_tok = F.size("tokens")
+    n_stop = F.expr(f"size(filter(tokens, t -> t IN ({_STOP_EN})))")
+    n_chars = F.length("text")
+    n_punct = n_chars - F.length(F.regexp_replace("text", "[.,]", ""))
+    n_digit = n_chars - F.length(F.regexp_replace("text", "[0-9]", ""))
+    stop_ratio = n_stop.cast("double") / n_tok
+    length_factor = F.when(n_tok >= 10, F.lit(1.0)).otherwise(
+        n_tok.cast("double") / 10.0
+    )
+    return docs.select(
+        "doc_id",
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        F.round(n_punct.cast("double") / n_chars, 6).alias("punct_ratio"),
+        F.round(n_digit.cast("double") / n_chars, 6).alias("digit_ratio"),
+        F.round(
+            F.least(F.lit(1.0), (F.lit(0.2) + stop_ratio * 2.0) * length_factor),
+            6,
+        ).alias("quality_score"),
+    )
+
+
+QUALITY_SCORE_SQL = f"""
+WITH t AS (
+  SELECT doc_id, text, {TOKENS_SQL} AS tokens FROM documents
+)
+SELECT doc_id,
+       round(CAST(len(list_filter(tokens, t -> t IN ({_STOP_EN}))) AS DOUBLE)
+             / len(tokens), 6) AS stop_ratio,
+       round(CAST(length(text) - length(regexp_replace(text, '[.,]', '', 'g'))
+                  AS DOUBLE) / length(text), 6) AS punct_ratio,
+       round(CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+                  AS DOUBLE) / length(text), 6) AS digit_ratio,
+       round(least(1.0,
+                   (0.2 + CAST(len(list_filter(tokens, t -> t IN ({_STOP_EN})))
+                               AS DOUBLE) / len(tokens) * 2.0)
+                   * (CASE WHEN len(tokens) >= 10 THEN 1.0
+                           ELSE CAST(len(tokens) AS DOUBLE) / 10.0 END)),
+             6) AS quality_score
+FROM t
+"""
+
+# ---------------------------------------------------------------------------
+# language-ID (stopword-hit heuristic; deterministic argmax)
+# ---------------------------------------------------------------------------
+
+_LANG_STOPS = {
+    "en": "'the','a','and','of','is','for','on','it'",
+    "de": "'der','die','und','das','ist','ein','nicht'",
+    "fr": "'le','la','les','et','est','une','pas'",
+    "es": "'el','los','las','y','es','una','no'",
+}
+
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = with_tokens(load(spark, sf_dir, "documents"))
+    hits = {
+        lang: F.expr(f"size(filter(tokens, t -> t IN ({stops})))")
+        for lang, stops in _LANG_STOPS.items()
+    }
+    en, de, fr, es = hits["en"], hits["de"], hits["fr"], hits["es"]
+    pred = (
+        F.when(F.greatest(en, de, fr, es) == 0, F.lit("unknown"))
+        .when((en >= de) & (en >= fr) & (en >= es), F.lit("en"))
+        .when((de >= fr) & (de >= es), F.lit("de"))
+        .when(fr >= es, F.lit("fr"))
+        .otherwise(F.lit("es"))
+    )
+    return docs.select(
+        "doc_id",
+        pred.alias("lang_pred"),
+        en.cast("bigint").alias("en_hits"),
+        (pred == F.col("lang")).cast("int").alias("agrees_with_label"),
+    )
+
+
+def _hits_sql(stops: str) -> str:
+    return f"len(list_filter({TOKENS_SQL}, t -> t IN ({stops})))"
+
+
+LANG_ID_SQL = f"""
+WITH h AS (
+  SELECT doc_id, lang,
+         {_hits_sql(_LANG_STOPS['en'])} AS en,
+         {_hits_sql(_LANG_STOPS['de'])} AS de,
+         {_hits_sql(_LANG_STOPS['fr'])} AS fr,
+         {_hits_sql(_LANG_STOPS['es'])} AS es
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN greatest(en, de, fr, es) = 0 THEN 'unknown'
+            WHEN en >= de AND en >= fr AND en >= es THEN 'en'
+            WHEN de >= fr AND de >= es THEN 'de'
+            WHEN fr >= es THEN 'fr'
+            ELSE 'es' END AS lang_pred,
+       CAST(en AS BIGINT) AS en_hits,
+       CAST((CASE WHEN greatest(en, de, fr, es) = 0 THEN 'unknown'
+                  WHEN en >= de AND en >= fr AND en >= es THEN 'en'
+                  WHEN de >= fr AND de >= es THEN 'de'
+                  WHEN fr >= es THEN 'fr'
+                  ELSE 'es' END) = lang AS INT) AS agrees_with_label
+FROM h
+"""
+
+# ---------------------------------------------------------------------------
+# fingerprinting: md5 of normalized text + min-shingle (MinHash-1 /
+# winnowing-style representative) over word 3-grams
+# ---------------------------------------------------------------------------
+
+SHINGLE3_EXPR = (
+    "CASE WHEN size(tokens) < 3 THEN array()"
+    " ELSE transform(sequence(1, size(tokens) - 2),"
+    " i -> concat_ws(' ', element_at(tokens, i), element_at(tokens, i + 1),"
+    " element_at(tokens, i + 2))) END"
+)
+SHINGLE3_SQL = (
+    "list_transform(generate_series(1, greatest(len(tokens) - 2, 0)),"
+    " i -> tokens[i] || ' ' || tokens[i + 1] || ' ' || tokens[i + 2])"
+)
+
+
+def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = with_tokens(load(spark, sf_dir, "documents"))
+    return docs.select(
+        "doc_id",
+        F.expr("md5(concat_ws(' ', tokens))").alias("fp_md5"),
+        F.coalesce(
+            F.expr(f"array_min(transform({SHINGLE3_EXPR}, s -> md5(s)))"),
+            F.lit(""),
+        ).alias("fp_shingle"),
+    )
+
+
+FINGERPRINT_SQL = f"""
+WITH t AS (
+  SELECT doc_id, {TOKENS_SQL} AS tokens FROM documents
+)
+SELECT doc_id,
+       md5(array_to_string(tokens, ' ')) AS fp_md5,
+       coalesce(list_min(list_transform({SHINGLE3_SQL}, s -> md5(s))), '')
+         AS fp_shingle
+FROM t
+"""
+
+QUERIES = {
+    "text_token_stats": token_stats,
+    "text_quality": quality_score,
+    "text_lang_id": lang_id,
+    "text_fingerprint": fingerprint,
+}
+
+ORACLES = {
+    "text_token_stats": TOKEN_STATS_SQL,
+    "text_quality": QUALITY_SCORE_SQL,
+    "text_lang_id": LANG_ID_SQL,
+    "text_fingerprint": FINGERPRINT_SQL,
+}

@@ -134,7 +134,12 @@ def extract_pages(
     """
     src = pages.select("url", "html")
 
-    is_oversized = F.length(F.col("html")) > F.lit(oversize_bytes)
+    # coalesce: NULL html must not evaporate from both branches (NULL
+    # predicate is neither true nor false) — it belongs in the normal
+    # branch and lands in the error/empty-text path of the kernel
+    is_oversized = (
+        F.coalesce(F.length(F.col("html")), F.lit(0)) > F.lit(oversize_bytes)
+    )
     normal = src.filter(~is_oversized).repartition(
         n_shards, F.xxhash64(F.col("url"))
     )

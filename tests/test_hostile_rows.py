@@ -1,0 +1,38 @@
+"""Hostile-input rows must flow to the error/empty-text columns —
+never drop rows or fail the task (reference analog: per-object errors
+wrapped as exception messages, pdf_parser.cpp:387-390)."""
+
+from docwire_spark.spark.extract import extract_pages
+
+HOSTILE = [
+    ("u_null", None),
+    ("u_empty", b""),
+    ("u_junk", b"\x00\xff\xfe junk"),
+    ("u_truncated", b"<html><p>unclosed"),
+    ("u_pdfish", b"%PDF-1.4 broken"),
+]
+
+
+def test_hostile_rows_never_dropped(spark):
+    df = spark.createDataFrame(HOSTILE, "url string, html binary")
+    out = {r.url: r for r in extract_pages(df, n_shards=4).collect()}
+    assert sorted(out) == sorted(u for u, _ in HOSTILE)
+    assert out["u_truncated"].extracted_text == "unclosed\n\n"
+    assert out["u_truncated"].error is None
+    assert out["u_junk"].error is not None  # unsupported mime -> error col
+    assert out["u_pdfish"].error is not None  # pdf parser stub -> error col
+    assert out["u_null"].error is None and out["u_null"].bytes_in == 0
+
+
+def test_multimodal_stub_contract():
+    from docwire_spark.ops.multimodal import (
+        decode_image, parse_media_header,
+    )
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG")
+    hdr = parse_media_header(b"ab", "image")
+    assert hdr["width"] == 16 + (ord("a") % 16) * 8
+    assert hdr["duration_ms"] is None
+    assert parse_media_header(b"ab", "audio")["duration_ms"] == 6
