@@ -1,0 +1,114 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line:
+
+    {"metric": ..., "value": <total sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": ...}
+
+Each query is forced end-to-end with the noop sink (full
+materialization, no collect/driver bottleneck, no output IO cost).
+
+Brute-force O(n^2) validation ops (dedup_jaccard_exact,
+dedup_simhash_pairs, dedup_embedding) are intentionally NOT headline
+queries — they exist as small-scale ground truth for the LSH paths and
+do not belong in a scale benchmark.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    # end-to-end extraction pipeline (the engine's reason to exist)
+    "extract_plain",
+    "extract_rich",
+    "extract_table",
+    # text analysis
+    "text_token_stats",
+    "text_quality",
+    "text_lang_id",
+    "text_fingerprint",
+    # dedup (scale paths only)
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    # similarity search
+    "similarity_topk",
+    "similarity_ann_lsh",
+    # multimodal plumbing
+    "multimodal_meta",
+    # relational shell
+    "events_by_type",
+    "source_skew_salt",
+    "orders_by_nation",
+    "pricing_summary",
+]
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = None
+
+    import __spark_entry__ as ENTRY
+    from docwire_spark.spark.session import build_session
+
+    spark = build_session(
+        master=f"local[{cpus}]",
+        app_name="docwire_spark-bench",
+        shuffle_partitions=int(cpus) if str(cpus).isdigit() else 32,
+    )
+    qs = ENTRY.queries()
+
+    # warmup: JVM/codegen + python worker pool (tiny query, not timed)
+    qs["events_by_type"](spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    timings = {}
+    n_docs = None
+    t_extract = 0.0
+    for name in HEADLINE:
+        t0 = time.time()
+        df = qs[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        dt = time.time() - t0
+        timings[name] = round(dt, 3)
+        if name.startswith("extract_"):
+            t_extract += dt
+
+    # extraction throughput over the three extract_* pipeline runs
+    from docwire_spark.ops.common import load
+
+    n_docs = load(spark, sf_dir, "documents").count()
+    docs_per_sec = round(3 * n_docs / t_extract, 1) if t_extract else None
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline suite wall time (extraction + dedup + "
+                "similarity + text analysis + relational)",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "cpus": int(cpus) if str(cpus).isdigit() else cpus,
+                "extract_docs_per_sec": docs_per_sec,
+                "n_docs": n_docs,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -51,20 +51,6 @@ def _plane_weights() -> list[list[int]]:
     ]
 
 
-def _weights_spark_literal() -> str:
-    rows = ",".join(
-        "array(" + ",".join(str(w) for w in row) + ")" for row in _plane_weights()
-    )
-    return f"array({rows})"
-
-
-def _weights_duckdb_literal() -> str:
-    rows = ",".join(
-        "[" + ",".join(str(w) for w in row) + "]" for row in _plane_weights()
-    )
-    return f"[{rows}]"
-
-
 def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         load(spark, sf_dir, "embeddings")
@@ -137,17 +123,26 @@ QUALIFY rank <= {TOPK}
 
 
 def _with_bucket(vecs: DataFrame) -> DataFrame:
-    w_lit = _weights_spark_literal()
-    proj = (
-        f"aggregate(sequence(1, {DIM}), 0D, (acc, i) ->"
-        f" acc + element_at(element_at({w_lit}, p + 1), i) * element_at(v, i))"
+    # one flat zip_with per plane (a nested per-element lookup into the
+    # 8x64 literal matrix re-evaluates the array construction per
+    # lambda step — O(dim * planes * dim) per row; this is O(dim) each)
+    out = vecs
+    bucket = F.lit(0).cast("bigint")
+    for p, row in enumerate(_plane_weights()):
+        w_lit = "array(" + ",".join(str(w) for w in row) + ")"
+        out = out.withColumn(
+            f"_proj_{p}",
+            F.expr(
+                f"aggregate(zip_with(v, {w_lit}, (x, w) -> x * w), 0D,"
+                " (acc, x) -> acc + x)"
+            ),
+        )
+        bucket = bucket + F.when(
+            F.col(f"_proj_{p}") > 0, F.lit(2 ** p)
+        ).otherwise(F.lit(0)).cast("bigint")
+    return out.withColumn("bucket", bucket).drop(
+        *[f"_proj_{p}" for p in range(N_PLANES)]
     )
-    bucket = (
-        f"aggregate(sequence(0, {N_PLANES - 1}), 0L, (acc, p) ->"
-        f" acc + IF(({proj}) > 0D, shiftleft(CAST(1 AS BIGINT), p),"
-        f" CAST(0 AS BIGINT)))"
-    )
-    return vecs.withColumn("bucket", F.expr(bucket))
 
 
 def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -182,24 +177,29 @@ def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ann_lsh_sql() -> str:
-    w_lit = _weights_duckdb_literal()
-    proj = (
-        f"list_sum(list_transform(generate_series(1, {DIM}),"
-        f" i -> ({w_lit})[p + 1][i] * v[i]))"
-    )
-    bucket = (
-        f"list_sum(list_transform(generate_series(0, {N_PLANES - 1}), p ->"
-        f" CASE WHEN ({proj}) > 0 THEN (1::BIGINT << p) ELSE 0 END))"
+    values = ",".join(
+        "(" + str(p) + ", [" + ",".join(str(w) for w in row) + "])"
+        for p, row in enumerate(_plane_weights())
     )
     return f"""
-WITH e AS (
+WITH w(p, wts) AS (VALUES {values}),
+e AS (
   SELECT vec_id, embedding::DOUBLE[] AS v,
          sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x)))
            AS norm
   FROM embeddings
 ),
+proj AS (
+  SELECT vec_id,
+         CAST(sum(CASE WHEN list_sum(list_transform(
+                          generate_series(1, {DIM}), i -> v[i] * wts[i])) > 0
+                       THEN (1::BIGINT << p) ELSE 0 END)
+              AS BIGINT) AS bucket
+  FROM e, w GROUP BY vec_id
+),
 bucketed AS (
-  SELECT vec_id, v, norm, CAST({bucket} AS BIGINT) AS bucket FROM e
+  SELECT e.vec_id, e.v, e.norm, proj.bucket
+  FROM e JOIN proj ON e.vec_id = proj.vec_id
 ),
 scored AS (
   SELECT a.vec_id AS query_id, a.bucket AS bucket, b.vec_id AS neighbor_id,
