@@ -88,10 +88,16 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _shingled(spark, sf_dir)
     bands = (
         docs.withColumn("mh", F.expr(_MINHASH_EXPR))
-        .select("doc_id", F.posexplode(F.expr(_BANDS_EXPR)).alias("band", "key"))
+        .select(
+            "doc_id", "sh",
+            F.posexplode(F.expr(_BANDS_EXPR)).alias("band", "key"),
+        )
     )
     # candidate generation = shuffle on (band, key); at cluster scale
-    # band-key buckets are small so the join output stays bounded
+    # band-key buckets are small so the join output stays bounded.
+    # The shingle sets ride along through the explode (sets are small;
+    # this avoids two extra joins against the docs table), and a pair
+    # matching in multiple bands is deduped before the jaccard verify.
     cand = (
         bands.alias("a")
         .join(
@@ -101,16 +107,15 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sh").alias("sha"),
+            F.col("b.sh").alias("shb"),
         )
-        .distinct()
+        .dropDuplicates(["doc_a", "doc_b"])
     )
-    sa = docs.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sha"))
-    sb = docs.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("shb"))
     verified = (
-        cand.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn("n_inter", F.size(F.array_intersect("sha", "shb")))
+        cand.withColumn("n_inter", F.size(F.array_intersect("sha", "shb")))
         .withColumn(
             "jaccard",
             F.round(
@@ -202,25 +207,57 @@ WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
 # SimHash (60-bit, from md5 of tokens with multiplicity)
 # ---------------------------------------------------------------------------
 
-# bit b (0..59) of a token's hash = bit (b % 4) of the hex digit at
-# 1-based position (15 - b div 4) of the first 15 md5 hex chars
-_SIMHASH_EXPR = """
-aggregate(sequence(0, 59), CAST(0 AS BIGINT), (acc, b) ->
-  acc + IF(
-    aggregate(hxs, 0, (a2, h) ->
-      a2 + 2 * (shiftright(instr('0123456789abcdef',
-                                 substr(h, 15 - (b div 4), 1)) - 1,
-                           b % 4) % 2) - 1) > 0,
-    shiftleft(CAST(1 AS BIGINT), b), CAST(0 AS BIGINT)))
-"""
+# Spec: bit b (0..59) of a token's hash = bit b of the integer value
+# of the first 15 md5 hex chars (equivalently: bit (b % 4) of the hex
+# digit at 1-based position (15 - b div 4)).  simhash bit b is set iff
+# the multiset-weighted ±1 vote over tokens is positive.
+#
+# Implemented as an Arrow-batched mapInPandas kernel (a "custom
+# sketch" operator): Catalyst higher-order functions are interpreted
+# per lambda step (~60 bits x n_tokens tree-walks per row), while the
+# numpy bit-unpack below is two vectorized ops per document.  The
+# DuckDB oracle implements the identical hex-digit spec in SQL.
+from pyspark.sql.types import LongType, StructField, StructType
+
+_SIMHASH_SCHEMA = StructType(
+    [StructField("doc_id", LongType()), StructField("simhash", LongType())]
+)
+
+
+def _simhash_batches(iterator):
+    import hashlib
+    import re
+
+    import numpy as np
+    import pandas as pd
+
+    token_re = re.compile(r"[a-z0-9]+")
+    bits = np.arange(60, dtype=np.uint64)
+
+    def one(text: str) -> int:
+        toks = token_re.findall((text or "").lower())
+        if not toks:
+            return 0
+        hs = np.array(
+            [int(hashlib.md5(t.encode()).hexdigest()[:15], 16) for t in toks],
+            dtype=np.uint64,
+        )
+        votes = ((hs[:, None] >> bits) & 1).astype(np.int32)
+        score = (2 * votes - 1).sum(axis=0)
+        return int(((score > 0).astype(np.uint64) << bits).sum())
+
+    for pdf in iterator:
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "simhash": [one(t) for t in pdf["text"]],
+            }
+        )
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = with_tokens(load(spark, sf_dir, "documents"))
-    return docs.select(
-        "doc_id",
-        F.expr("transform(tokens, t -> substr(md5(t), 1, 15))").alias("hxs"),
-    ).select("doc_id", F.expr(_SIMHASH_EXPR).alias("simhash"))
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.mapInPandas(_simhash_batches, _SIMHASH_SCHEMA)
 
 
 DEDUP_SIMHASH_SQL = f"""
