@@ -211,6 +211,17 @@ def guess_encoding(data: bytes):
         return "utf-16-be"
     if data.startswith(b"\xef\xbb\xbf"):
         return "utf-8"
+    # fast path: strict-valid UTF-8 is UTF-8 (C-speed check).  Disjoint
+    # from the GB18030 signature below — a GB 4-byte sequence needs an
+    # ASCII digit after a >=0x81 lead byte, which valid UTF-8 forbids —
+    # and charset_normalizer returns utf-8 for such input anyway, so
+    # this changes no results; it only skips two O(n) pure-python scans
+    # that dominated extraction cost on large documents.
+    try:
+        data.decode("utf-8", "strict")
+        return "utf-8"
+    except UnicodeDecodeError:
+        pass
     if _looks_like_gb18030(data):
         return "gb18030"
     try:

@@ -102,13 +102,84 @@ def _begins_ws(s: str) -> bool:
     return bool(s) and s[0] in " \t\n\r\x0b\x0c"
 
 
-def pdf_to_events(data: bytes):
+def _is_rtl_char(c: str) -> bool:
+    o = ord(c)
+    return (
+        0x0590 <= o <= 0x08FF
+        or 0xFB1D <= o <= 0xFDFF
+        or 0xFE70 <= o <= 0xFEFF
+    )
+
+
+def _bidi_visual_to_output(text: str) -> str:
+    """Simplified UBA as PDFium's text page applies it to objects on an
+    RTL-base line (observed via the reference's 9.pdf golden): split
+    into direction runs; emit runs in REVERSE order; LTR runs keep
+    their internal character order, RTL and neutral runs are
+    character-reversed ('Arabski tekst: ' -> ' :tekst Arabski';
+    visual-order Arabic 'صن ةنيع' -> logical 'عينة نص')."""
+    runs = []  # (cls, chars): cls L / R / N
+    for c in text:
+        if _is_rtl_char(c):
+            cls = "R"
+        elif c.isalnum():
+            cls = "L"
+        else:
+            cls = "N"
+        if runs and runs[-1][0] == cls:
+            runs[-1][1].append(c)
+        else:
+            runs.append((cls, [c]))
+    out = []
+    for cls, chars in reversed(runs):
+        out.extend(chars if cls == "L" else reversed(chars))
+    return "".join(out)
+
+
+def _apply_line_bidi(elements):
+    """PDFium's text page bidi-reorders the characters of every object
+    on a line whose content contains RTL characters.  Elements are
+    already position-sorted; lines are delimited with the comparator's
+    own same-line tolerance."""
+    out = []
+    line = []
+
+    def flush():
+        if any(_is_rtl_char(c) for el in line for c in el[0]):
+            out.extend(
+                (_bidi_visual_to_output(el[0]),) + el[1:] for el in line
+            )
+        else:
+            out.extend(line)
+        line.clear()
+
+    for el in elements:
+        if line:
+            prev = line[-1]
+            tol = max(
+                2.0,
+                max(
+                    _characteristic_height(prev), _characteristic_height(el)
+                ) * 0.40,
+            )
+            if prev[2] is None or el[2] is None or abs(prev[2] - el[2]) > tol:
+                flush()
+        line.append(el)
+    flush()
+    return out
+
+
+def pdf_to_events(data: bytes, max_pages: int | None = None):
     doc = PdfDocument(data)
     events = [(E.DOCUMENT, None)]
     meta = doc.metadata()
-    for page in doc.pages():
+    for page_no, page in enumerate(doc.pages()):
+        if max_pages is not None and page_no >= max_pages:
+            # reference analog: a transformer_func returning stop after
+            # MAX_PAGES page events (document_parsing_tests.cpp:465-500)
+            break
         events.append((E.PAGE, None))
-        elements = _sort_elements(page.text_elements())
+        elements = _apply_line_bidi(_sort_elements(page.text_elements()))
         prev = None
         for el in elements:
             if prev is not None:

