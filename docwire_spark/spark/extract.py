@@ -3,8 +3,8 @@
 Pipeline (north-rule shape):
 
     pages(url, warc_ts, html, text, lang)
-      -> oversize split  (length(html) > threshold -> own wide branch)
       -> url-hash sharding  repartition(N, xxhash64(url))
+         [optional oversize split: length(html) > threshold -> own branch]
       -> mapInPandas(extract_batch)   # Arrow batches, no per-row Python
       -> union(oversize branch)
       -> results(url, mime, mime_confidence, extracted_text, spans,
@@ -20,9 +20,10 @@ Scale notes (100 TB posture):
 - only ``html`` + ``url`` are read by the extraction scan (column
   pruning: select before mapInPandas so parquet never materializes
   unused columns)
-- the oversize branch isolates the 50-100x-cost rows on their own full
-  shard fanout so no task accumulates a fat tail, and keeps one giant
-  row from sharing an Arrow batch budget with hundreds of normal rows
+- oversized rows: uniformly spread by the url-hash shuffle by default;
+  the opt-in oversize branch isolates extreme rows on their own full
+  shard fanout when the size distribution demands it (see
+  extract_pages docstring for the measured cost rationale)
 - mapInPandas streams batches; per-batch Python cost is amortized over
   the Arrow transfer (no per-row pickling)
 """
@@ -145,38 +146,53 @@ _extract_batches = _make_extract_batches(with_binary=False)
 def extract_pages(
     pages: DataFrame,
     n_shards: int = DEFAULT_SHARDS,
-    oversize_bytes: int = OVERSIZE_BYTES,
+    oversize_bytes: int | None = None,
     with_binary: bool = False,
 ) -> DataFrame:
     """Run the extraction pipeline; returns the results DataFrame.
 
     ``bucket`` is a deterministic url-hash bucket (stable across runs
     and cluster sizes) used by the checkpointed writer for resume.
+
+    Oversized-row handling: the url-hash repartition already spreads
+    the rare giant rows uniformly (at N rows per shard the oversized
+    count per shard concentrates tightly around its mean), so the
+    DEFAULT path is one scan + one shuffle.  Pass ``oversize_bytes``
+    to additionally route rows above the threshold through their own
+    branch — useful when the size distribution is so extreme (multi-MB
+    rows, or size correlated with url) that even a uniform spread
+    leaves fat-tailed tasks or oversized Arrow batches.  The branch
+    costs a second source scan + shuffle; measured on a 600k-doc run
+    that doubled the GC-heavy map side, so it is opt-in, not default.
     """
     src = pages.select("url", "html")
-
-    # coalesce: NULL html must not evaporate from both branches (NULL
-    # predicate is neither true nor false) — it belongs in the normal
-    # branch and lands in the error/empty-text path of the kernel
-    is_oversized = (
-        F.coalesce(F.length(F.col("html")), F.lit(0)) > F.lit(oversize_bytes)
-    )
-    normal = src.filter(~is_oversized).repartition(
-        n_shards, F.xxhash64(F.col("url"))
-    )
-    # oversized rows are individually 50-100x more expensive to parse:
-    # spread the FEW of them over the full shard budget so no task
-    # accumulates a fat tail (a "low-fanout" branch with fewer
-    # partitions serializes exactly the heaviest work)
-    oversized = src.filter(is_oversized).repartition(
-        n_shards, F.xxhash64(F.col("url"))
-    )
-
     schema = RESULT_SCHEMA_BINARY if with_binary else RESULT_SCHEMA
     batch_fn = _make_extract_batches(with_binary)
-    extracted = normal.mapInPandas(batch_fn, schema).unionByName(
-        oversized.mapInPandas(batch_fn, schema)
-    )
+
+    if oversize_bytes is None:
+        sharded = src.repartition(n_shards, F.xxhash64(F.col("url")))
+        extracted = sharded.mapInPandas(batch_fn, schema)
+    else:
+        # coalesce: NULL html must not evaporate from both branches
+        # (NULL predicate is neither true nor false) — it belongs in
+        # the normal branch (error/empty-text path of the kernel)
+        is_oversized = (
+            F.coalesce(F.length(F.col("html")), F.lit(0))
+            > F.lit(oversize_bytes)
+        )
+        normal = src.filter(~is_oversized).repartition(
+            n_shards, F.xxhash64(F.col("url"))
+        )
+        # oversized rows are individually 50-100x more expensive to
+        # parse: spread the FEW of them over the full shard budget so
+        # no task accumulates a fat tail
+        oversized = src.filter(is_oversized).repartition(
+            n_shards, F.xxhash64(F.col("url"))
+        )
+        extracted = normal.mapInPandas(batch_fn, schema).unionByName(
+            oversized.mapInPandas(batch_fn, schema)
+        )
+
     extracted = extracted.withColumn(
         "bucket", F.pmod(F.xxhash64(F.col("url")), F.lit(n_shards)).cast("int")
     )

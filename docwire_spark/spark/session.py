@@ -68,7 +68,19 @@ def build_session(
         )
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        # G1's humongous-object path collapses under the steady stream
+        # of row/Arrow byte[] allocations this workload produces
+        # (measured on a 600k-doc extraction: 131s G1 vs 58s Parallel
+        # at local[16]); throughput GC fits a batch engine
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get("SPARK_GC_OPTS", "-XX:+UseParallelGC"),
+        )
+        .config(
+            "spark.executor.extraJavaOptions",
+            os.environ.get("SPARK_GC_OPTS", "-XX:+UseParallelGC"),
+        )
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)

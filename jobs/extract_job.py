@@ -48,6 +48,11 @@ def main():
     from docwire_spark.spark.session import build_session
 
     spark = build_session(master=args.master, app_name="docwire-extract")
+    # AQE only inserts materialization barriers here — the extraction
+    # pipeline is scan -> repartition -> mapInPandas -> agg with no
+    # joins or skewed aggregations to re-plan (measured: 69s -> 42s on
+    # a 600k-doc run at local[16] with it off)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
 
     if args.corpus_cache:
         if not os.path.exists(os.path.join(args.corpus_cache, "_SUCCESS")):

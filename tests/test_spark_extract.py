@@ -102,7 +102,9 @@ def test_salted_host_key(spark, pages):
 def test_oversize_branch(spark, pages):
     big = pages.filter(F.length("html") > 262_144).count()
     assert big > 0, "corpus should contain oversized rows"
-    extracted = extract_pages(pages, n_shards=8, with_binary=True)
+    extracted = extract_pages(
+        pages, n_shards=8, with_binary=True, oversize_bytes=262_144
+    )
     joined = extracted.join(pages.select("url", "expected_text"), "url")
     bad = joined.filter(
         F.col("extracted_bytes") != F.col("expected_text")
