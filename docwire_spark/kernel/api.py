@@ -47,9 +47,12 @@ class ExtractResult:
     meta: dict = field(default_factory=dict)
     error: str | None = None
     n_events: int = 0
+    main_content: str | None = None
 
 
-def extract(data: bytes, url: str = "") -> ExtractResult:
+def extract(
+    data: bytes, url: str = "", want_main_content: bool = False
+) -> ExtractResult:
     res = ExtractResult(url=url)
     try:
         mime, conf = detect_mime(data[:SNIFF_PREFIX_BYTES], url)
@@ -63,6 +66,11 @@ def extract(data: bytes, url: str = "") -> ExtractResult:
         text, spans = render_plain_text(events)
         res.text = text
         res.spans = spans
+        if want_main_content:
+            # additive stage, gated off the byte-identity path
+            from docwire_spark.kernel.boilerplate import main_content
+
+            res.main_content = main_content(events)
     except Exception as exc:  # per-row error capture (no continuation::stop)
         res.error = f"{type(exc).__name__}: {exc}"
     return res

@@ -152,14 +152,65 @@ SELECT doc_id,
 FROM c
 """
 
+_NAV = (
+    '<div><a href="https://s.local/">Home</a> '
+    '<a href="https://s.local/a">About</a> '
+    '<a href="https://s.local/c">Contact</a></div>'
+)
+_FOOTER = (
+    '<div><a href="https://s.local/p">Privacy</a> '
+    '<a href="https://s.local/t">Terms</a></div>'
+)
+# identical collapsed-word-count predicate in both engines: the
+# NumWordsRulesClassifier marks a >40-word block after a link-dense
+# prev as content unconditionally, so gating on >40 makes the oracle
+# analytic (nav/footer are 100% link-density -> always boilerplate)
+_WC_SPARK = "size(split(trim(regexp_replace(text, ' +', ' ')), ' ')) > 40"
+_WC_SQL = (
+    "len(string_split(trim(regexp_replace(text, ' +', ' ', 'g')), ' ')) > 40"
+)
+
+
+def extract_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate-strip stage (kernel/boilerplate.py, WSDM'10 tree):
+    nav/footer link chrome around the article must vanish from
+    ``main_content`` while ``extracted_text`` keeps full parity."""
+    docs = load(spark, sf_dir, "documents").filter(F.expr(_WC_SPARK))
+    pages = docs.select(
+        F.concat(F.lit(_URL_PREFIX), F.col("doc_id").cast("string")).alias("url"),
+        F.encode(
+            F.concat(
+                F.lit("<html><head><title>d</title></head><body>" + _NAV + "<p>"),
+                F.col("text"),
+                F.lit("</p>" + _FOOTER + "</body></html>"),
+            ),
+            "UTF-8",
+        ).alias("html"),
+    )
+    res = extract_pages(pages, n_shards=16, with_main_content=True)
+    return res.select(
+        F.element_at(F.split("url", "/"), -1).cast("bigint").alias("doc_id"),
+        "main_content",
+    )
+
+
+EXTRACT_MAIN_CONTENT_SQL = f"""
+SELECT doc_id,
+       trim(regexp_replace(text, ' +', ' ', 'g')) AS main_content
+FROM documents
+WHERE {_WC_SQL}
+"""
+
 QUERIES = {
     "extract_plain": extract_plain,
     "extract_rich": extract_rich,
     "extract_table": extract_table,
+    "extract_main_content": extract_main_content,
 }
 
 ORACLES = {
     "extract_plain": EXTRACT_PLAIN_SQL,
     "extract_rich": EXTRACT_RICH_SQL,
     "extract_table": EXTRACT_TABLE_SQL,
+    "extract_main_content": EXTRACT_MAIN_CONTENT_SQL,
 }

@@ -71,7 +71,19 @@ RESULT_SCHEMA_BINARY = StructType(
 )
 
 
-def _make_extract_batches(with_binary: bool):
+def _result_schema(with_binary: bool, with_main_content: bool) -> StructType:
+    base = RESULT_SCHEMA_BINARY if with_binary else RESULT_SCHEMA
+    if not with_main_content:
+        return base
+    fields = list(base.fields)
+    at = next(
+        i for i, f in enumerate(fields) if f.name == "extracted_text"
+    ) + 1
+    fields.insert(at, StructField("main_content", StringType()))
+    return StructType(fields)
+
+
+def _make_extract_batches(with_binary: bool, with_main_content: bool = False):
     """mapInPandas body factory: runs the pure-Python kernel per Arrow
     batch.  ``extracted_bytes`` is only materialized when requested —
     emitting it unconditionally doubles the Arrow transfer per row and
@@ -100,6 +112,7 @@ def _make_extract_batches(with_binary: bool):
                 "mime": [],
                 "mime_confidence": [],
                 "extracted_text": [],
+                "main_content": [],
                 "extracted_bytes": [],
                 "spans": [],
                 "meta_json": [],
@@ -110,14 +123,21 @@ def _make_extract_batches(with_binary: bool):
             }
             if not with_binary:
                 del out["extracted_bytes"]
+            if not with_main_content:
+                del out["main_content"]
             for url, html in zip(urls, htmls):
                 data = bytes(html) if html is not None else b""
-                res = extract(data, url=url or "")
+                res = extract(
+                    data, url=url or "",
+                    want_main_content=with_main_content,
+                )
                 out["mime"].append(res.mime)
                 out["mime_confidence"].append(res.mime_confidence)
                 out["extracted_text"].append(
                     res.text.decode("utf-8", "replace")
                 )
+                if with_main_content:
+                    out["main_content"].append(res.main_content)
                 if with_binary:
                     out["extracted_bytes"].append(res.text)
                 out["spans"].append(
@@ -148,6 +168,7 @@ def extract_pages(
     n_shards: int = DEFAULT_SHARDS,
     oversize_bytes: int | None = None,
     with_binary: bool = False,
+    with_main_content: bool = False,
 ) -> DataFrame:
     """Run the extraction pipeline; returns the results DataFrame.
 
@@ -166,8 +187,8 @@ def extract_pages(
     that doubled the GC-heavy map side, so it is opt-in, not default.
     """
     src = pages.select("url", "html")
-    schema = RESULT_SCHEMA_BINARY if with_binary else RESULT_SCHEMA
-    batch_fn = _make_extract_batches(with_binary)
+    schema = _result_schema(with_binary, with_main_content)
+    batch_fn = _make_extract_batches(with_binary, with_main_content)
 
     if oversize_bytes is None:
         sharded = src.repartition(n_shards, F.xxhash64(F.col("url")))
