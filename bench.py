@@ -28,6 +28,7 @@ HEADLINE = [
     "extract_plain",
     "extract_rich",
     "extract_table",
+    "extract_main_content",
     # text analysis
     "text_token_stats",
     "text_quality",
@@ -89,7 +90,10 @@ def main():
     from docwire_spark.ops.common import load
 
     n_docs = load(spark, sf_dir, "documents").count()
-    docs_per_sec = round(3 * n_docs / t_extract, 1) if t_extract else None
+    n_extract = sum(1 for name in HEADLINE if name.startswith("extract_"))
+    docs_per_sec = (
+        round(n_extract * n_docs / t_extract, 1) if t_extract else None
+    )
 
     total = round(sum(timings.values()), 3)
     print(

@@ -23,6 +23,10 @@ HTML_MIMES = frozenset(
 )
 XML_MIMES = frozenset(("application/xml", "text/xml"))
 PDF_MIMES = frozenset(("application/pdf",))
+EML_MIMES = frozenset(("message/rfc822",))
+XLSX_MIMES = frozenset(
+    ("application/vnd.openxmlformats-officedocument.spreadsheetml.sheet",)
+)
 TXT_MIMES = frozenset(
     """text/x-asm text/asp text/aspdotnet text/x-basic text/x-bat text/x-c
     text/x-cmake text/x-csharp text/css text/csv text/x-d text/x-fortran
@@ -48,11 +52,20 @@ class ExtractResult:
     error: str | None = None
     n_events: int = 0
     main_content: str | None = None
+    html: bytes | None = None
+    meta_text: bytes | None = None
+    csv: bytes | None = None
 
 
 def extract(
-    data: bytes, url: str = "", want_main_content: bool = False
+    data: bytes,
+    url: str = "",
+    want_main_content: bool = False,
+    exports: tuple = (),
 ) -> ExtractResult:
+    """``exports`` ⊆ {'html', 'meta_text', 'csv'} adds the optional
+    exporter renders (reference html_writer / meta_data_writer /
+    csv_writer) alongside the default plain-text output."""
     res = ExtractResult(url=url)
     try:
         mime, conf = detect_mime(data[:SNIFF_PREFIX_BYTES], url)
@@ -71,6 +84,18 @@ def extract(
             from docwire_spark.kernel.boilerplate import main_content
 
             res.main_content = main_content(events)
+        if "html" in exports:
+            from docwire_spark.kernel.html_writer import render_html
+
+            res.html = render_html(events, res.meta)
+        if "meta_text" in exports:
+            from docwire_spark.kernel.meta_writer import render_metadata
+
+            res.meta_text = render_metadata(res.meta)
+        if "csv" in exports:
+            from docwire_spark.kernel.csv_writer import render_csv
+
+            res.csv = render_csv(events)
     except Exception as exc:  # per-row error capture (no continuation::stop)
         res.error = f"{type(exc).__name__}: {exc}"
     return res
@@ -84,11 +109,38 @@ def _parse_by_mime(data: bytes, mime: str):
         from docwire_spark.kernel.pdf import pdf_to_events
 
         return pdf_to_events(data)
+    if mime in EML_MIMES:
+        from docwire_spark.kernel.eml_extract import eml_to_events
+
+        return eml_to_events(data, _parse_child)
+    if mime in XLSX_MIMES:
+        from docwire_spark.kernel.xlsx_extract import xlsx_to_events
+
+        return xlsx_to_events(data)
+    if mime == "application/rtf":
+        from docwire_spark.kernel.rtf_extract import rtf_to_events
+
+        return rtf_to_events(data)
     if mime in XML_MIMES:
         return xml_to_events(data), {}
     if mime in TXT_MIMES:
         return txt_to_events(data), {}
     raise ValueError(f"unsupported mime type: {mime}")
+
+
+def _parse_child(data: bytes, mime_hint: str | None):
+    """Back-channel re-entry for nested payloads (reference
+    parsing_chain.cpp:57-62: embedded objects re-enter the whole chain
+    with full re-detection).  Unsupported/broken payloads yield no
+    events (the reference surfaces them as non-fatal error messages)."""
+    try:
+        mime = mime_hint
+        if mime is None:
+            mime, _conf = detect_mime(data[:SNIFF_PREFIX_BYTES], "")
+        events, _meta = _parse_by_mime(data, mime)
+        return events
+    except Exception:
+        return []
 
 
 def extract_events(data: bytes, url: str = ""):

@@ -2,7 +2,7 @@
 
 Supports the three formats the reference consumes:
 - ISO-8601: ``2007-08-09T23:26:06`` (optional Z/offset, fractional secs)
-- OpenOffice legacy: ``20070809;232606`` / ``D:YYYYMMDDHHMMSS``-less form
+- OpenOffice legacy: ``20070809;23260600`` (YYYYMMDD;HHMMSSff)
 - ASN.1 / PDF: ``YYYYMMDDHHMMSS`` with optional timezone suffix
 All results are naive UTC ``datetime`` objects.
 """
@@ -16,7 +16,10 @@ _ISO_RE = re.compile(
     r"^(\d{4})-(\d{2})-(\d{2})[T ](\d{2}):(\d{2})(?::(\d{2}))?"
     r"(?:\.(\d+))?\s*(Z|[+-]\d{2}:?\d{2})?$"
 )
-_LEGACY_RE = re.compile(r"^(\d{4})(\d{2})(\d{2});(\d{2})(\d{2})(\d{2})$")
+# YYYYMMDD;HHMMSSff — the reference requires total length >= 17 (the
+# two fractional-second digits must be present, and are ignored;
+# convert_chrono.cpp:62-76)
+_LEGACY_RE = re.compile(r"^(\d{4})(\d{2})(\d{2});(\d{2})(\d{2})(\d{2})\d\d")
 _ASN1_RE = re.compile(
     r"^(\d{4})(\d{2})?(\d{2})?(\d{2})?(\d{2})?(\d{2})?"
     r"(?:(Z)|([+-])(\d{2})'?(\d{2})?'?)?"

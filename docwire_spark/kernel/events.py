@@ -7,10 +7,16 @@ UDFs; ``payload`` is ``None`` for structural events.
 
 Payloads:
 - TEXT: str
-- LINK: str url ('' when href was stripped) or None when no url at all
-- IMAGE: (alt: str|None, ocr_text: str|None)
+- LINK: (url: str, styling) — url '' when href was stripped/missing;
+  bare str accepted from non-HTML parsers
+- IMAGE: (alt: str|None, ocr_text: str|None[, src: str|None, styling])
 - STYLE: str css_text
-- LIST: str type ('decimal' | 'disc' | 'none' | literal)
+- LIST: (type, styling) or bare str type
+  ('decimal' | 'disc' | 'none' | literal)
+- structural opens (PARAGRAPH/SECTION/SPAN/BOLD/UNDERLINE/TABLE/
+  TABLE_ROW/TABLE_CELL/CAPTION/BREAK_LINE/LIST_ITEM): styling or None,
+  where styling = (classes: list[str], id: str, style: str)
+  (reference attributes.h:33-41)
 - COMMENT: (author: str|None, time: str|None, comment: str|None)
 - MAIL: (subject: str|None, date: int|None, level: int|None)
 - ATTACHMENT: str|None name

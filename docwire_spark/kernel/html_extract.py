@@ -105,6 +105,21 @@ def _emit(ctx, kind, payload=None):
     ctx.events.append((kind, payload))
 
 
+def _styling(node):
+    """Capture (classes, id, style) from the element's attributes
+    (reference html_parser.cpp:50-71: class split on single spaces,
+    style whitespace-trimmed).  None when all empty — the common case,
+    keeping event tuples cheap inside Arrow batches."""
+    attrs = node.attrs
+    class_str = attrs.get("class")
+    classes = class_str.split(" ") if class_str else []
+    id_ = attrs.get("id") or ""
+    style = (attrs.get("style") or "").strip()
+    if not classes and not id_ and not style:
+        return None
+    return (classes, id_, style)
+
+
 def _process_text(ctx, text):
     if ctx.in_head and not ctx.in_style:
         return
@@ -193,11 +208,11 @@ def _process_tag(ctx, node, closing):
     if name == "style":
         ctx.in_style = True
     elif name in PARAGRAPH_ELEMENTS:
-        _emit(ctx, E.PARAGRAPH)
+        _emit(ctx, E.PARAGRAPH, _styling(node))
     elif name == "div":
-        _emit(ctx, E.SECTION)
+        _emit(ctx, E.SECTION, _styling(node))
     elif name == "span":
-        _emit(ctx, E.SPAN)
+        _emit(ctx, E.SPAN, _styling(node))
     elif name == "a":
         url = node.attrs.get("href")
         if url is not None:
@@ -205,17 +220,21 @@ def _process_tag(ctx, node, closing):
                 url = ""
         else:
             url = ""
-        _emit(ctx, E.LINK, url)
+        _emit(ctx, E.LINK, (url, _styling(node)))
     elif name == "img":
-        _emit(ctx, E.IMAGE, (node.attrs.get("alt"), None))
+        _emit(
+            ctx, E.IMAGE,
+            (node.attrs.get("alt"), None, node.attrs.get("src"),
+             _styling(node)),
+        )
     elif name == "table":
-        _emit(ctx, E.TABLE)
+        _emit(ctx, E.TABLE, _styling(node))
     elif name == "caption":
-        _emit(ctx, E.CAPTION)
+        _emit(ctx, E.CAPTION, _styling(node))
     elif name == "tr":
-        _emit(ctx, E.TABLE_ROW)
+        _emit(ctx, E.TABLE_ROW, _styling(node))
     elif name in ("td", "th"):
-        _emit(ctx, E.TABLE_CELL)
+        _emit(ctx, E.TABLE_CELL, _styling(node))
     elif name in ("ul", "ol"):
         style_type_none = False
         style_attr = node.attrs.get("style")
@@ -227,20 +246,20 @@ def _process_tag(ctx, node, closing):
         elif name == "ul" and ctx.turn_off_ul:
             style_type_none = True
         list_type = "none" if style_type_none else ("decimal" if name == "ol" else "disc")
-        _emit(ctx, E.LIST, list_type)
+        _emit(ctx, E.LIST, (list_type, _styling(node)))
     elif name == "br":
         ctx.last_char = "\0"
-        _emit(ctx, E.BREAK_LINE)
+        _emit(ctx, E.BREAK_LINE, _styling(node))
     elif name == "li":
-        _emit(ctx, E.LIST_ITEM)
+        _emit(ctx, E.LIST_ITEM, _styling(node))
     elif name == "title":
         ctx.in_title = True
     elif name in ("script", "iframe"):
         ctx.in_script = True
     elif name == "b":
-        _emit(ctx, E.BOLD)
+        _emit(ctx, E.BOLD, _styling(node))
     elif name == "u":
-        _emit(ctx, E.UNDERLINE)
+        _emit(ctx, E.UNDERLINE, _styling(node))
     elif name == "meta":
         _handle_meta(ctx, node.attrs)
 

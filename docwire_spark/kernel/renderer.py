@@ -235,11 +235,12 @@ class PlainTextRenderer:
             if not self.list_mode:
                 self._write(eol)
         elif kind == E.LINK:
-            self._write(_format_link_opening(payload), kind="link")
+            url = payload[0] if isinstance(payload, tuple) else payload
+            self._write(_format_link_opening(url), kind="link")
         elif kind == E.CLOSE_LINK:
             pass  # default closing formatter renders ""
         elif kind == E.IMAGE:
-            alt, ocr_text = payload if payload else (None, None)
+            alt, ocr_text = (payload[0], payload[1]) if payload else (None, None)
             text = ocr_text or ""
             if not text and alt:
                 text = alt
@@ -248,7 +249,8 @@ class PlainTextRenderer:
         elif kind == E.LIST:
             self.list_mode = True
             self.list_counter = 1
-            self.list_type = payload or ""
+            lt = payload[0] if isinstance(payload, tuple) else payload
+            self.list_type = lt or ""
             self._write(eol)
         elif kind == E.CLOSE_LIST:
             self.list_mode = False

@@ -43,6 +43,9 @@ EXTENSION_MIME = {
     "php": "application/x-httpd-php",
     "rtf": "application/rtf",
     "eml": "message/rfc822",
+    "xlsx": "application/vnd.openxmlformats-officedocument.spreadsheetml.sheet",
+    "docx": "application/vnd.openxmlformats-officedocument.wordprocessingml.document",
+    "pptx": "application/vnd.openxmlformats-officedocument.presentationml.presentation",
     "zip": "application/zip",
     "gz": "application/gzip",
     "bz2": "application/x-bzip2",
@@ -74,6 +77,16 @@ _MAGIC = [
     (b"%!PS", "application/postscript"),
     (b"\x7fELF", "application/x-executable"),
     (b"SQLite format 3\x00", "application/vnd.sqlite3"),
+]
+
+
+_OOXML_MARKERS = [
+    (b"xl/workbook.xml",
+     "application/vnd.openxmlformats-officedocument.spreadsheetml.sheet"),
+    (b"word/document.xml",
+     "application/vnd.openxmlformats-officedocument.wordprocessingml.document"),
+    (b"ppt/presentation.xml",
+     "application/vnd.openxmlformats-officedocument.presentationml.presentation"),
 ]
 
 
@@ -110,6 +123,13 @@ def detect_mime(data_prefix: bytes, url: str = "") -> tuple:
         sig_hit = False
         for sig, mime in _MAGIC:
             if data_prefix.startswith(sig):
+                # OOXML refinement: ZIP local headers in the first 4KB
+                # name the payload (content_type_odf_ooxml.cpp:19-60)
+                if mime == "application/zip":
+                    for marker, ooxml_mime in _OOXML_MARKERS:
+                        if marker in data_prefix:
+                            mime = ooxml_mime
+                            break
                 add(mime, VERY_HIGH)
                 sig_hit = True
                 break

@@ -201,11 +201,104 @@ FROM documents
 WHERE {_WC_SQL}
 """
 
+def extract_html_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML exporter (kernel/html_writer.py, reference html_writer.cpp
+    byte rules verified against tests/1..3.html.out.html goldens)."""
+    docs = load(spark, sf_dir, "documents")
+    pages = docs.select(
+        F.concat(F.lit(_URL_PREFIX), F.col("doc_id").cast("string")).alias("url"),
+        F.encode(
+            F.concat(
+                F.lit('<html><head><meta name="author" content="au'),
+                F.col("doc_id").cast("string"),
+                F.lit('"></head><body><p>'),
+                F.col("text"),
+                F.lit("</p></body></html>"),
+            ),
+            "UTF-8",
+        ).alias("html"),
+    )
+    res = extract_pages(pages, n_shards=16, exports=("html", "meta_text"))
+    return res.select(
+        F.element_at(F.split("url", "/"), -1).cast("bigint").alias("doc_id"),
+        "extracted_html",
+        "meta_text",
+    )
+
+
+# documents.text is pure [a-z0-9 .,] ASCII -> no entity escaping in the
+# oracle; header/footer bytes from html_writer.cpp:158-183
+EXTRACT_HTML_EXPORT_SQL = """
+SELECT doc_id,
+       '<!DOCTYPE html>' || chr(10) || '<html>' || chr(10) || '<head>'
+         || chr(10) || '<meta charset="utf-8">' || chr(10)
+         || '<title>DocWire</title>' || chr(10)
+         || '<meta name="author" content="au' || doc_id || '">' || chr(10)
+         || '</head>' || chr(10) || '<body>' || chr(10)
+         || '<p>' || trim(regexp_replace(text, ' +', ' ', 'g')) || '</p>'
+         || '</body>' || chr(10) || '</html>' || chr(10) AS extracted_html,
+       'Author: au' || doc_id || chr(10)
+         || 'Creation time: unidentified' || chr(10)
+         || 'Last modified by: unidentified' || chr(10)
+         || 'Last modification time: unidentified' || chr(10)
+         || 'Page count: unidentified' || chr(10)
+         || 'Word count: unidentified' || chr(10) AS meta_text
+FROM documents
+"""
+
+
+def extract_csv_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV exporter (kernel/csv_writer.py: tables only, CRLF rows, no
+    quoting — reference csv_writer.cpp:18-45)."""
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "tokens", F.expr(TOKENS_EXPR)
+    )
+    docs = docs.filter(F.size("tokens") >= 4)
+    cells = [F.expr(f"element_at(tokens, {i})") for i in (1, 2, 3, 4)]
+    pages = docs.select(
+        F.concat(
+            F.lit(_URL_PREFIX), F.col("doc_id").cast("string")
+        ).alias("url"),
+        F.encode(
+            F.concat(
+                F.lit("<html><body><table><tr><td>"),
+                cells[0],
+                F.lit("</td><td>"),
+                cells[1],
+                F.lit("</td></tr><tr><td>"),
+                cells[2],
+                F.lit("</td><td>"),
+                cells[3],
+                F.lit("</td></tr></table></body></html>"),
+            ),
+            "UTF-8",
+        ).alias("html"),
+    )
+    res = extract_pages(pages, n_shards=16, exports=("csv",))
+    return res.select(
+        F.element_at(F.split("url", "/"), -1).cast("bigint").alias("doc_id"),
+        "table_csv",
+    )
+
+
+EXTRACT_CSV_EXPORT_SQL = f"""
+WITH t AS (
+  SELECT doc_id, {TOKENS_SQL} AS tokens FROM documents
+)
+SELECT doc_id,
+       tokens[1] || ',' || tokens[2] || chr(13) || chr(10)
+         || tokens[3] || ',' || tokens[4] || chr(13) || chr(10)
+         AS table_csv
+FROM t WHERE len(tokens) >= 4
+"""
+
 QUERIES = {
     "extract_plain": extract_plain,
     "extract_rich": extract_rich,
     "extract_table": extract_table,
     "extract_main_content": extract_main_content,
+    "extract_html_export": extract_html_export,
+    "extract_csv_export": extract_csv_export,
 }
 
 ORACLES = {
@@ -213,4 +306,6 @@ ORACLES = {
     "extract_rich": EXTRACT_RICH_SQL,
     "extract_table": EXTRACT_TABLE_SQL,
     "extract_main_content": EXTRACT_MAIN_CONTENT_SQL,
+    "extract_html_export": EXTRACT_HTML_EXPORT_SQL,
+    "extract_csv_export": EXTRACT_CSV_EXPORT_SQL,
 }

@@ -3,14 +3,17 @@
 Pipeline (north-rule shape):
 
     pages(url, warc_ts, html, text, lang)
-      -> url-hash sharding  repartition(N, xxhash64(url))
+      -> byte-bounded scan splits (maxPartitionBytes; no pre-shuffle —
+         url-hash sharding is the computed ``bucket`` column, applied
+         physically at the commit boundary; opt-in repartition for
+         pathological inputs)
          [optional oversize split: length(html) > threshold -> own branch]
       -> mapInPandas(extract_batch)   # Arrow batches, no per-row Python
       -> union(oversize branch)
       -> results(url, mime, mime_confidence, extracted_text, spans,
                  meta, error, n_events, bytes_in, partition_id, bucket)
       -> metrics = groupBy(partition_id) aggregation
-      -> checkpointed idempotent write (lineage.py)
+      -> checkpointed idempotent write sharded by bucket (lineage.py)
 
 Skew handling: a host-level salt key helper for host-grouped
 operations (extraction itself shards by url hash, which is uniform;
@@ -62,6 +65,7 @@ _BASE_FIELDS = [
     StructField("n_events", IntegerType()),
     StructField("bytes_in", LongType()),
     StructField("partition_id", IntegerType()),
+    StructField("bucket", IntegerType()),
 ]
 
 RESULT_SCHEMA = StructType(_BASE_FIELDS)
@@ -71,19 +75,38 @@ RESULT_SCHEMA_BINARY = StructType(
 )
 
 
-def _result_schema(with_binary: bool, with_main_content: bool) -> StructType:
+#: exporter name -> result column (reference html_writer /
+#: meta_data_writer / csv_writer renders, SURVEY.md §2.5)
+EXPORT_COLUMNS = {
+    "html": "extracted_html",
+    "meta_text": "meta_text",
+    "csv": "table_csv",
+}
+
+
+def _result_schema(
+    with_binary: bool, with_main_content: bool, exports: tuple = ()
+) -> StructType:
     base = RESULT_SCHEMA_BINARY if with_binary else RESULT_SCHEMA
-    if not with_main_content:
-        return base
     fields = list(base.fields)
     at = next(
         i for i, f in enumerate(fields) if f.name == "extracted_text"
     ) + 1
-    fields.insert(at, StructField("main_content", StringType()))
+    if with_main_content:
+        fields.insert(at, StructField("main_content", StringType()))
+        at += 1
+    for name in exports:
+        fields.insert(at, StructField(EXPORT_COLUMNS[name], StringType()))
+        at += 1
     return StructType(fields)
 
 
-def _make_extract_batches(with_binary: bool, with_main_content: bool = False):
+def _make_extract_batches(
+    with_binary: bool,
+    with_main_content: bool = False,
+    exports: tuple = (),
+    counters: dict | None = None,
+):
     """mapInPandas body factory: runs the pure-Python kernel per Arrow
     batch.  ``extracted_bytes`` is only materialized when requested —
     emitting it unconditionally doubles the Arrow transfer per row and
@@ -107,6 +130,14 @@ def _make_extract_batches(with_binary: bool, with_main_content: bool = False):
         for pdf in iterator:
             urls = pdf["url"].tolist()
             htmls = pdf["html"].tolist()
+            # bucket is computed JVM-side on the NARROW input (url only)
+            # and passed through: projecting it onto the WIDE python
+            # output instead costs a full row conversion of every
+            # result column (measured ~6s at 16 cores on 600k docs)
+            buckets = (
+                pdf["bucket"].tolist()
+                if "bucket" in pdf.columns else [None] * len(urls)
+            )
             out = {
                 "url": urls,
                 "mime": [],
@@ -120,7 +151,10 @@ def _make_extract_batches(with_binary: bool, with_main_content: bool = False):
                 "n_events": [],
                 "bytes_in": [],
                 "partition_id": [pid] * len(urls),
+                "bucket": buckets,
             }
+            for name in exports:
+                out[EXPORT_COLUMNS[name]] = []
             if not with_binary:
                 del out["extracted_bytes"]
             if not with_main_content:
@@ -130,6 +164,7 @@ def _make_extract_batches(with_binary: bool, with_main_content: bool = False):
                 res = extract(
                     data, url=url or "",
                     want_main_content=with_main_content,
+                    exports=exports,
                 )
                 out["mime"].append(res.mime)
                 out["mime_confidence"].append(res.mime_confidence)
@@ -138,6 +173,15 @@ def _make_extract_batches(with_binary: bool, with_main_content: bool = False):
                 )
                 if with_main_content:
                     out["main_content"].append(res.main_content)
+                for name in exports:
+                    rendered = getattr(
+                        res, {"html": "html", "meta_text": "meta_text",
+                              "csv": "csv"}[name]
+                    )
+                    out[EXPORT_COLUMNS[name]].append(
+                        rendered.decode("utf-8", "replace")
+                        if rendered is not None else None
+                    )
                 if with_binary:
                     out["extracted_bytes"].append(res.text)
                 out["spans"].append(
@@ -154,6 +198,12 @@ def _make_extract_batches(with_binary: bool, with_main_content: bool = False):
                 out["error"].append(res.error)
                 out["n_events"].append(res.n_events)
                 out["bytes_in"].append(len(data))
+            if counters is not None:  # one update per Arrow batch
+                counters["docs"].add(len(urls))
+                counters["bytes"].add(sum(out["bytes_in"]))
+                counters["failed"].add(
+                    sum(1 for e in out["error"] if e is not None)
+                )
             yield pd.DataFrame(out)
 
     return _extract_batches
@@ -169,29 +219,49 @@ def extract_pages(
     oversize_bytes: int | None = None,
     with_binary: bool = False,
     with_main_content: bool = False,
+    exports: tuple = (),
+    shuffle: bool = False,
+    counters: dict | None = None,
 ) -> DataFrame:
     """Run the extraction pipeline; returns the results DataFrame.
 
     ``bucket`` is a deterministic url-hash bucket (stable across runs
     and cluster sizes) used by the checkpointed writer for resume.
 
-    Oversized-row handling: the url-hash repartition already spreads
-    the rare giant rows uniformly (at N rows per shard the oversized
-    count per shard concentrates tightly around its mean), so the
-    DEFAULT path is one scan + one shuffle.  Pass ``oversize_bytes``
-    to additionally route rows above the threshold through their own
-    branch — useful when the size distribution is so extreme (multi-MB
-    rows, or size correlated with url) that even a uniform spread
-    leaves fat-tailed tasks or oversized Arrow batches.  The branch
-    costs a second source scan + shuffle; measured on a 600k-doc run
-    that doubled the GC-heavy map side, so it is opt-in, not default.
+    url-hash sharding is LOGICAL by default: the bucket is a computed
+    column (pmod(xxhash64(url), n_shards)) and the commit boundary
+    (CheckpointedWriter) shards on it — no physical pre-shuffle.  The
+    parquet/Iceberg scan already yields byte-bounded splits
+    (maxPartitionBytes), which balances per-task extraction cost
+    BETTER than row-count-balanced hash shards, and it never moves the
+    raw html bytes across the cluster (measured: the 1.9 GB shuffle of
+    a 600k-doc corpus cost more wall time than the entire 16-core
+    extraction; at 100 TB the pre-shuffle would be the single largest
+    I/O in the job).  Pass ``shuffle=True`` to force the physical
+    repartition when the input's partitioning is pathological (a few
+    giant unsplittable files, or severely size-skewed splits).
+
+    Oversized-row handling: scan splits spread the rare giant rows by
+    byte budget already.  Pass ``oversize_bytes`` to additionally
+    route rows above the threshold through their own branch (a second
+    scan + filter) when the size distribution is so extreme that one
+    row dominates an Arrow batch.
     """
-    src = pages.select("url", "html")
-    schema = _result_schema(with_binary, with_main_content)
-    batch_fn = _make_extract_batches(with_binary, with_main_content)
+    src = pages.select(
+        "url", "html",
+        F.pmod(F.xxhash64(F.col("url")), F.lit(n_shards))
+        .cast("int").alias("bucket"),
+    )
+    schema = _result_schema(with_binary, with_main_content, exports)
+    batch_fn = _make_extract_batches(
+        with_binary, with_main_content, exports, counters
+    )
 
     if oversize_bytes is None:
-        sharded = src.repartition(n_shards, F.xxhash64(F.col("url")))
+        sharded = (
+            src.repartition(n_shards, F.xxhash64(F.col("url")))
+            if shuffle else src
+        )
         extracted = sharded.mapInPandas(batch_fn, schema)
     else:
         # coalesce: NULL html must not evaporate from both branches
@@ -201,22 +271,20 @@ def extract_pages(
             F.coalesce(F.length(F.col("html")), F.lit(0))
             > F.lit(oversize_bytes)
         )
-        normal = src.filter(~is_oversized).repartition(
-            n_shards, F.xxhash64(F.col("url"))
-        )
+        normal = src.filter(~is_oversized)
         # oversized rows are individually 50-100x more expensive to
         # parse: spread the FEW of them over the full shard budget so
-        # no task accumulates a fat tail
+        # no task accumulates a fat tail (this branch is tiny, so its
+        # repartition moves almost no bytes)
         oversized = src.filter(is_oversized).repartition(
             n_shards, F.xxhash64(F.col("url"))
         )
+        if shuffle:
+            normal = normal.repartition(n_shards, F.xxhash64(F.col("url")))
         extracted = normal.mapInPandas(batch_fn, schema).unionByName(
             oversized.mapInPandas(batch_fn, schema)
         )
 
-    extracted = extracted.withColumn(
-        "bucket", F.pmod(F.xxhash64(F.col("url")), F.lit(n_shards)).cast("int")
-    )
     return extracted
 
 

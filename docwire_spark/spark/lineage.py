@@ -7,9 +7,12 @@ the same contract with atomic parquet staging + a commit log
 the resume semantics are identical):
 
 - documents carry a deterministic ``bucket`` = xxhash64(url) % N
-- buckets are processed in ``groups`` commit units; each unit writes to
-  a staging dir, atomically renames it into the output, then appends a
-  manifest line ``{group, buckets, n_rows, batch_id}`` to commit_log.jsonl
+- buckets are processed in ``groups`` commit units; one
+  dynamic-partition pass stages every uncommitted group (this is where
+  the url-hash sharding becomes physical — at the commit boundary, not
+  as a pre-shuffle of raw input bytes), then each group is atomically
+  renamed into the output and a manifest line
+  ``{group, buckets, n_rows, batch_id}`` appended to commit_log.jsonl
 - a killed job re-runs only groups missing from the commit log
   (anti-join on committed buckets); re-running a committed group is a
   no-op (idempotent)
@@ -23,6 +26,17 @@ import shutil
 import uuid
 
 from pyspark.sql import DataFrame, functions as F
+
+
+def _parquet_row_count(dir_path: str) -> int:
+    """Row count from parquet footers (no Spark action)."""
+    import pyarrow.parquet as pq
+
+    total = 0
+    for name in os.listdir(dir_path):
+        if name.endswith(".parquet"):
+            total += pq.ParquetFile(os.path.join(dir_path, name)).metadata.num_rows
+    return total
 
 
 class CheckpointedWriter:
@@ -62,9 +76,29 @@ class CheckpointedWriter:
             os.fsync(f.fileno())
 
     # -- write -----------------------------------------------------------
-    def run(self, extracted: DataFrame, batch_id: str | None = None) -> dict:
+    def run(
+        self,
+        extracted: DataFrame,
+        batch_id: str | None = None,
+        mode: str = "single_pass",
+    ) -> dict:
         """Write ``extracted`` (must have a ``bucket`` column) in
-        ``groups`` independent commit units; resume-safe."""
+        ``groups`` independent commit units; resume-safe.
+
+        ``single_pass`` (default): ONE extraction pass writes all
+        uncommitted groups via a dynamic-partition write to a staging
+        dir, then each group is atomically renamed + logged.  Row
+        counts come from the staged parquet footers — no second action
+        over the pipeline.  At 100 TB this is the only sane shape: the
+        per-group variant re-runs the scan+extract once per commit
+        unit (the Iceberg equivalent of single_pass is one MERGE per
+        group over a cached/staged intermediate).
+
+        ``per_group``: one spark job per commit unit — finer-grained
+        commit points (a kill mid-run loses at most one group's work)
+        at the cost of re-running the upstream pipeline per group.
+        Use when the upstream is cheap or cached.
+        """
         batch_id = batch_id or uuid.uuid4().hex
         done = self.committed_groups()
         stats = {"groups_total": self.groups, "groups_skipped": len(done)}
@@ -72,30 +106,54 @@ class CheckpointedWriter:
             "commit_group",
             F.pmod(F.col("bucket"), F.lit(self.groups)).cast("int"),
         )
-        # one pass per commit unit keeps commit units independent; at
-        # cluster scale, one unit == one spark job over ~1/groups of data
-        for g in range(self.groups):
-            if g in done:
-                continue
-            part = df.filter(F.col("commit_group") == g).drop("commit_group")
-            staging = os.path.join(self.out_dir, f"_staging_{g}_{batch_id}")
-            final = os.path.join(self.out_dir, f"group={g}")
-            n_rows = part.count()
-            part.write.mode("overwrite").parquet(staging)
-            if os.path.exists(final):
-                shutil.rmtree(final)  # stale partial from a killed run
-            os.replace(staging, final)
-            buckets = list(range(g, self.n_shards, self.groups))
-            self._append_log(
-                {
-                    "group": g,
-                    "buckets": buckets,
-                    "n_rows": n_rows,
-                    "batch_id": batch_id,
-                }
+        todo = [g for g in range(self.groups) if g not in done]
+        if not todo:
+            stats["groups_written"] = 0
+            return stats
+
+        if mode == "per_group":
+            for g in todo:
+                part = df.filter(
+                    F.col("commit_group") == g
+                ).drop("commit_group")
+                staging = os.path.join(
+                    self.out_dir, f"_staging_{g}_{batch_id}"
+                )
+                n_rows = part.count()
+                part.write.mode("overwrite").parquet(staging)
+                self._commit_group(g, staging, n_rows, batch_id)
+        else:
+            staging_root = os.path.join(self.out_dir, f"_staging_{batch_id}")
+            keep = df.filter(F.col("commit_group").isin(todo))
+            keep.write.mode("overwrite").partitionBy("commit_group").parquet(
+                staging_root
             )
-        stats["groups_written"] = self.groups - len(done)
+            for g in todo:
+                staged = os.path.join(staging_root, f"commit_group={g}")
+                if not os.path.exists(staged):
+                    os.makedirs(staged)  # empty group still commits
+                self._commit_group(
+                    g, staged, _parquet_row_count(staged), batch_id
+                )
+            shutil.rmtree(staging_root, ignore_errors=True)
+        stats["groups_written"] = len(todo)
         return stats
+
+    def _commit_group(
+        self, g: int, staging: str, n_rows: int, batch_id: str
+    ) -> None:
+        final = os.path.join(self.out_dir, f"group={g}")
+        if os.path.exists(final):
+            shutil.rmtree(final)  # stale partial from a killed run
+        os.replace(staging, final)
+        self._append_log(
+            {
+                "group": g,
+                "buckets": list(range(g, self.n_shards, self.groups)),
+                "n_rows": n_rows,
+                "batch_id": batch_id,
+            }
+        )
 
     def read(self, spark) -> DataFrame:
         return spark.read.parquet(os.path.join(self.out_dir, "group=*"))

@@ -69,7 +69,7 @@ def build_session(
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
-        .config("spark.executor.memory", os.environ.get("SPARK_EXECUTOR_MEMORY", "3g"))
+        .config("spark.executor.memory", os.environ.get("SPARK_EXECUTOR_MEMORY", "6g"))
         # G1's humongous-object path collapses under the steady stream
         # of row/Arrow byte[] allocations this workload produces
         # (measured on a 600k-doc extraction: 131s G1 vs 58s Parallel

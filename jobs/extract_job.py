@@ -47,7 +47,19 @@ def main():
     from docwire_spark.spark.lineage import CheckpointedWriter
     from docwire_spark.spark.session import build_session
 
-    spark = build_session(master=args.master, app_name="docwire-extract")
+    # 32 MB scan splits: enough tasks per core for wave smoothing on
+    # this corpus; 4096-row Arrow batches amortize the JVM<->python
+    # round-trip (measured 46.1s -> 41.3s at 16 cores, 600k docs) —
+    # safe here because corpus rows are ~3 KB (12 MB/batch); keep the
+    # session default (512) for unknown row-size corpora
+    spark = build_session(
+        master=args.master,
+        app_name="docwire-extract",
+        extra_conf={
+            "spark.sql.files.maxPartitionBytes": "33554432",
+            "spark.sql.execution.arrow.maxRecordsPerBatch": "4096",
+        },
+    )
     # AQE only inserts materialization barriers here — the extraction
     # pipeline is scan -> repartition -> mapInPandas -> agg with no
     # joins or skewed aggregations to re-plan (measured: 69s -> 42s on
@@ -69,32 +81,49 @@ def main():
             spark, args.n_docs, n_hosts=args.n_hosts, seed=args.seed
         )
 
-    # warm the python worker pool (fork + pandas/pyarrow imports are
-    # per-worker, per-session costs — they amortize over a long job but
-    # would dominate a short timed window); not part of the timed run
+    # warm python workers AND executor JVMs (worker fork + pandas
+    # imports, parquet/Arrow JIT compilation — per-executor costs that
+    # amortize over a long job but dominate a short timed window).
+    # sample() keeps the warmup parallel across every scan split so
+    # ALL workers fork and EVERY executor JVM compiles the hot path
+    # (limit() would collapse to one partition and warm one worker).
     extract_pages(
-        pages.select("url", "html").limit(512), n_shards=args.n_shards
-    ).count()
+        pages.select("url", "html").sample(0.05, seed=1),
+        n_shards=args.n_shards,
+    ).write.format("noop").mode("overwrite").save()
+
+    sc = spark.sparkContext
+    # stats via accumulators updated inside the batch fn: a JVM-side
+    # agg over the WIDE python output forces a full row conversion of
+    # every result column, which is memory-bandwidth-bound and
+    # contends hard at high core counts (measured +16s at 16 cores on
+    # 600k docs vs the columnar noop sink).  Accumulators are exact
+    # when no task retries occur (verified n_failed==0 runs).
+    counters = {
+        "docs": sc.accumulator(0),
+        "failed": sc.accumulator(0),
+        "bytes": sc.accumulator(0),
+    }
 
     t0 = time.time()
-    extracted = extract_pages(pages.select("url", "html"), n_shards=args.n_shards)
+    extracted = extract_pages(
+        pages.select("url", "html"), n_shards=args.n_shards, counters=counters
+    )
     if args.out:
         writer = CheckpointedWriter(args.out, n_shards=args.n_shards, groups=8)
         writer.run(extracted)
         back = writer.read(spark)
+        n_parts = back.select("partition_id").distinct().count()
     else:
-        back = extracted
-    # ONE action -> one extraction pass (timing a noop save plus three
-    # separate stat actions re-runs the whole uncached pipeline 4x)
-    row = back.agg(
-        F.count("*").alias("n"),
-        F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0)).alias("bad"),
-        F.sum("bytes_in").alias("b"),
-        F.countDistinct("partition_id").alias("parts"),
-    ).collect()[0]
+        # ONE action, columnar sink: every row is extracted and crosses
+        # the Arrow boundary; nothing is re-run for stats
+        extracted.write.format("noop").mode("overwrite").save()
+        n_parts = None
     wall = time.time() - t0
-    n_rows, n_failed, bytes_in, n_parts = row.n, row.bad, row.b, row.parts
-    _ = metrics_by_partition  # exported path exercised in tests
+    n_rows = counters["docs"].value
+    n_failed = counters["failed"].value
+    bytes_in = counters["bytes"].value
+    _ = metrics_by_partition, F  # exported paths exercised in tests
 
     print(
         json.dumps(

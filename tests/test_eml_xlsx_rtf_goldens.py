@@ -1,0 +1,64 @@
+"""Byte-identity goldens for the EML, XLSX and RTF paths
+(reference: tests/*.eml.out, tests/*.xlsx.out, tests/*.rtf.out via the
+document_parsing_tests.cpp harness — full-string equality).
+"""
+
+import os
+
+import pytest
+
+from docwire_spark.kernel.api import extract
+from docwire_spark.kernel.meta_writer import render_metadata
+
+REF = "/root/reference/tests"
+
+EML = [
+    "first.eml", "second.eml", "third.eml", "fourth.eml",
+    "html_priority.eml", "header_folded_boundary.eml",
+    "unnamed_attachment.eml",
+]
+XLSX = ["1.xlsx", "2.xlsx", "3.xlsx", "4.xlsx", "5.xlsx", "6.xlsx",
+        "7.xlsx", "8.xlsx", "9.xlsx", "10.xlsx"]
+RTF = [f"{n}.rtf" for n in range(1, 10)] + [
+    "comments_libreoffice_3.5.rtf", "special_para_cmds.rtf",
+]
+
+
+def _golden(name):
+    path = os.path.join(REF, name)
+    if not os.path.exists(path + ".out"):
+        pytest.skip(f"no golden for {name}")
+    return open(path, "rb").read(), open(path + ".out", "rb").read()
+
+
+@pytest.mark.parametrize("name", EML + XLSX + RTF)
+def test_plain_text_golden(name):
+    data, exp = _golden(name)
+    got = extract(data, url=name)
+    assert got.error is None, got.error
+    assert got.text == exp
+
+
+@pytest.mark.xfail(reason="attachment image requires the OCR path "
+                   "(tesseract), out of scope — SURVEY.md §2.3")
+def test_multipart_related_ocr_attachment():
+    data, exp = _golden("multipart_related_html.eml")
+    assert extract(data, url="x.eml").text == exp
+
+
+@pytest.mark.parametrize("fmt", ["html", "xlsx", "rtf"])
+@pytest.mark.parametrize("variant", ["created", "modified"])
+def test_metadata_goldens(fmt, variant):
+    name = f"meta_libreoffice_3.5_{variant}.{fmt}"
+    data, exp = _golden(name)
+    got = extract(data, url=name)
+    assert render_metadata(got.meta) == exp
+
+
+def test_eml_metadata_email_attrs():
+    data, _ = _golden("html_priority.eml")
+    meta = extract(data, url="m.eml").meta
+    attrs = meta.get("email_attrs", {})
+    assert attrs.get("from") == "sender@example.com"
+    assert attrs.get("to") == "receiver@example.com"
+    assert attrs.get("subject") == "HTML Priority Test"

@@ -13,7 +13,17 @@ def events_of(html_bytes: bytes):
 
 
 def kinds_and_texts(evs):
-    return [(k, p) if k in (E.TEXT, E.LINK, E.STYLE, E.LIST) else k for k, p in evs]
+    # LINK/LIST payloads are (url|type, styling) tuples — compare on
+    # the first element; styling pass-through is covered separately
+    out = []
+    for k, p in evs:
+        if k in (E.TEXT, E.STYLE):
+            out.append((k, p))
+        elif k in (E.LINK, E.LIST):
+            out.append((k, p[0] if isinstance(p, tuple) else p))
+        else:
+            out.append(k)
+    return out
 
 
 def test_table_events():
@@ -170,7 +180,7 @@ def test_link_stripping_and_br():
         b'<a href="http://x.example/">ok</a><br>tail</p>'
     )
     evs = events_of(html)
-    links = [p for k, p in evs if k == E.LINK]
+    links = [p[0] for k, p in evs if k == E.LINK]
     assert links == ["", "", "http://x.example/"]
     assert (E.BREAK_LINE, None) in evs
 

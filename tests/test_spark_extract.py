@@ -58,25 +58,32 @@ def test_metrics(spark, pages):
     assert all(r.bytes_in > 0 for r in m)
 
 
-def test_checkpointed_writer_resume(spark, pages, tmp_path):
-    out = str(tmp_path / "out")
+@pytest.mark.parametrize("mode", ["single_pass", "per_group"])
+def test_checkpointed_writer_resume(spark, pages, tmp_path, mode):
+    out = str(tmp_path / f"out_{mode}")
     extracted = extract_pages(pages, n_shards=8)
     w = CheckpointedWriter(out, n_shards=8, groups=4)
-    stats = w.run(extracted, batch_id="batch1")
+    stats = w.run(extracted, batch_id="batch1", mode=mode)
     assert stats["groups_written"] == 4
 
     # simulate a killed job: drop one committed group from the log
     lines = open(w.log_path).read().strip().splitlines()
     with open(w.log_path, "w") as f:
         f.write("\n".join(lines[:-1]) + "\n")
-    stats2 = w.run(extracted, batch_id="batch2")
+    stats2 = w.run(extracted, batch_id="batch2", mode=mode)
     assert stats2["groups_skipped"] == 3
     assert stats2["groups_written"] == 1
 
     total = w.read(spark).count()
     assert total == N_DOCS
+    # row counts in the commit log match what was written
+    logged = sum(
+        __import__("json").loads(ln)["n_rows"]
+        for ln in open(w.log_path).read().strip().splitlines()
+    )
+    assert logged == N_DOCS
     # idempotent: nothing left to write
-    stats3 = w.run(extracted, batch_id="batch3")
+    stats3 = w.run(extracted, batch_id="batch3", mode=mode)
     assert stats3["groups_written"] == 0
 
     # resume filter drops all committed input rows
