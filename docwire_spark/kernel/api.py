@@ -27,6 +27,23 @@ EML_MIMES = frozenset(("message/rfc822",))
 XLSX_MIMES = frozenset(
     ("application/vnd.openxmlformats-officedocument.spreadsheetml.sheet",)
 )
+DOCX_MIMES = frozenset(
+    ("application/vnd.openxmlformats-officedocument.wordprocessingml.document",)
+)
+PPTX_MIMES = frozenset(
+    (
+        "application/vnd.openxmlformats-officedocument.presentationml.presentation",
+        "application/vnd.openxmlformats-officedocument.presentationml.slideshow",
+    )
+)
+ODF_MIMES = frozenset(
+    (
+        "application/vnd.oasis.opendocument.text",
+        "application/vnd.oasis.opendocument.spreadsheet",
+        "application/vnd.oasis.opendocument.presentation",
+        "application/vnd.oasis.opendocument.graphics",
+    )
+)
 TXT_MIMES = frozenset(
     """text/x-asm text/asp text/aspdotnet text/x-basic text/x-bat text/x-c
     text/x-cmake text/x-csharp text/css text/csv text/x-d text/x-fortran
@@ -117,6 +134,18 @@ def _parse_by_mime(data: bytes, mime: str):
         from docwire_spark.kernel.xlsx_extract import xlsx_to_events
 
         return xlsx_to_events(data)
+    if mime in DOCX_MIMES:
+        from docwire_spark.kernel.docx_extract import docx_to_events
+
+        return docx_to_events(data)
+    if mime in PPTX_MIMES:
+        from docwire_spark.kernel.docx_extract import pptx_to_events
+
+        return pptx_to_events(data)
+    if mime in ODF_MIMES:
+        from docwire_spark.kernel.odf_extract import odf_to_events
+
+        return odf_to_events(data)
     if mime == "application/rtf":
         from docwire_spark.kernel.rtf_extract import rtf_to_events
 

@@ -43,6 +43,10 @@ EXTENSION_MIME = {
     "php": "application/x-httpd-php",
     "rtf": "application/rtf",
     "eml": "message/rfc822",
+    "odt": "application/vnd.oasis.opendocument.text",
+    "ods": "application/vnd.oasis.opendocument.spreadsheet",
+    "odp": "application/vnd.oasis.opendocument.presentation",
+    "odg": "application/vnd.oasis.opendocument.graphics",
     "xlsx": "application/vnd.openxmlformats-officedocument.spreadsheetml.sheet",
     "docx": "application/vnd.openxmlformats-officedocument.wordprocessingml.document",
     "pptx": "application/vnd.openxmlformats-officedocument.presentationml.presentation",
@@ -81,6 +85,14 @@ _MAGIC = [
 
 
 _OOXML_MARKERS = [
+    (b"mimetypeapplication/vnd.oasis.opendocument.text",
+     "application/vnd.oasis.opendocument.text"),
+    (b"mimetypeapplication/vnd.oasis.opendocument.spreadsheet",
+     "application/vnd.oasis.opendocument.spreadsheet"),
+    (b"mimetypeapplication/vnd.oasis.opendocument.presentation",
+     "application/vnd.oasis.opendocument.presentation"),
+    (b"mimetypeapplication/vnd.oasis.opendocument.graphics",
+     "application/vnd.oasis.opendocument.graphics"),
     (b"xl/workbook.xml",
      "application/vnd.openxmlformats-officedocument.spreadsheetml.sheet"),
     (b"word/document.xml",

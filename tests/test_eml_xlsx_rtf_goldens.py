@@ -1,5 +1,5 @@
-"""Byte-identity goldens for the EML, XLSX and RTF paths
-(reference: tests/*.eml.out, tests/*.xlsx.out, tests/*.rtf.out via the
+"""Byte-identity goldens for the EML, XLSX, DOCX, PPTX, ODF and RTF
+paths (reference: tests/N.<ext>.out via the
 document_parsing_tests.cpp harness — full-string equality).
 """
 
@@ -17,11 +17,21 @@ EML = [
     "html_priority.eml", "header_folded_boundary.eml",
     "unnamed_attachment.eml",
 ]
-XLSX = ["1.xlsx", "2.xlsx", "3.xlsx", "4.xlsx", "5.xlsx", "6.xlsx",
-        "7.xlsx", "8.xlsx", "9.xlsx", "10.xlsx"]
+XLSX = [f"{n}.xlsx" for n in range(1, 11)]
 RTF = [f"{n}.rtf" for n in range(1, 10)] + [
     "comments_libreoffice_3.5.rtf", "special_para_cmds.rtf",
 ]
+DOCX = [f"{n}.docx" for n in range(1, 11)] + [
+    "comments_libreoffice_3.5.docx",
+    "space_attributes_in_non_standard_places.docx",
+]
+PPTX = [f"{n}.pptx" for n in range(1, 10)]
+ODF = (
+    [f"{n}.odt" for n in range(1, 10)] + ["ole.odt"]
+    + [f"{n}.ods" for n in range(1, 10)]
+    + [f"{n}.odp" for n in range(1, 10)]
+    + [f"{n}.odg" for n in range(1, 10)]
+)
 
 
 def _golden(name):
@@ -31,7 +41,7 @@ def _golden(name):
     return open(path, "rb").read(), open(path + ".out", "rb").read()
 
 
-@pytest.mark.parametrize("name", EML + XLSX + RTF)
+@pytest.mark.parametrize("name", EML + XLSX + RTF + DOCX + PPTX + ODF)
 def test_plain_text_golden(name):
     data, exp = _golden(name)
     got = extract(data, url=name)
@@ -46,7 +56,9 @@ def test_multipart_related_ocr_attachment():
     assert extract(data, url="x.eml").text == exp
 
 
-@pytest.mark.parametrize("fmt", ["html", "xlsx", "rtf"])
+@pytest.mark.parametrize(
+    "fmt", ["html", "xlsx", "rtf", "docx", "pptx", "odt", "ods", "odp", "odg"]
+)
 @pytest.mark.parametrize("variant", ["created", "modified"])
 def test_metadata_goldens(fmt, variant):
     name = f"meta_libreoffice_3.5_{variant}.{fmt}"
