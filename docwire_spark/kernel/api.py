@@ -44,6 +44,14 @@ ODF_MIMES = frozenset(
         "application/vnd.oasis.opendocument.graphics",
     )
 )
+ODF_FLAT_MIMES = frozenset(
+    (
+        "application/vnd.oasis.opendocument.text-flat-xml",
+        "application/vnd.oasis.opendocument.spreadsheet-flat-xml",
+        "application/vnd.oasis.opendocument.presentation-flat-xml",
+        "application/vnd.oasis.opendocument.graphics-flat-xml",
+    )
+)
 TXT_MIMES = frozenset(
     """text/x-asm text/asp text/aspdotnet text/x-basic text/x-bat text/x-c
     text/x-cmake text/x-csharp text/css text/csv text/x-d text/x-fortran
@@ -79,6 +87,7 @@ def extract(
     url: str = "",
     want_main_content: bool = False,
     exports: tuple = (),
+    _depth: int = 0,
 ) -> ExtractResult:
     """``exports`` ⊆ {'html', 'meta_text', 'csv'} adds the optional
     exporter renders (reference html_writer / meta_data_writer /
@@ -88,6 +97,12 @@ def extract(
         mime, conf = detect_mime(data[:SNIFF_PREFIX_BYTES], url)
         res.mime = mime
         res.mime_confidence = CONFIDENCE_NAMES[conf]
+        from docwire_spark.kernel.archive_extract import ARCHIVE_MIMES
+
+        if mime in ARCHIVE_MIMES:
+            return _extract_archive(
+                res, data, mime, url, want_main_content, exports, _depth
+            )
         events, meta = _parse_by_mime(data, mime)
         res.meta = meta or {}
         res.n_events = sum(
@@ -146,6 +161,10 @@ def _parse_by_mime(data: bytes, mime: str):
         from docwire_spark.kernel.odf_extract import odf_to_events
 
         return odf_to_events(data)
+    if mime in ODF_FLAT_MIMES:
+        from docwire_spark.kernel.odf_extract import odf_flat_to_events
+
+        return odf_flat_to_events(data)
     if mime == "application/rtf":
         from docwire_spark.kernel.rtf_extract import rtf_to_events
 
@@ -155,6 +174,72 @@ def _parse_by_mime(data: bytes, mime: str):
     if mime in TXT_MIMES:
         return txt_to_events(data), {}
     raise ValueError(f"unsupported mime type: {mime}")
+
+
+def _extract_archive(
+    res: ExtractResult,
+    data: bytes,
+    mime: str,
+    url: str,
+    want_main_content: bool,
+    exports: tuple,
+    depth: int,
+) -> ExtractResult:
+    """Each entry renders as a complete standalone document, outputs
+    concatenated (reference archives_parser.cpp back-channel; see
+    archive_extract.py).  All-entries-failed == uninterpretable."""
+    from docwire_spark.kernel.archive_extract import (
+        MAX_DEPTH, ArchiveError, iter_entries,
+    )
+
+    if depth >= MAX_DEPTH:
+        res.error = "ArchiveError: nesting too deep"
+        return res
+    n_entries = n_failed = 0
+    texts, mains = [], []
+    renders = {name: [] for name in exports}
+    try:
+        for name, payload in iter_entries(data, mime, url):
+            n_entries += 1
+            sub = extract(
+                payload, url=name,
+                want_main_content=want_main_content,
+                exports=exports, _depth=depth + 1,
+            )
+            if sub.error is not None:
+                n_failed += 1
+                continue
+            offset = sum(len(t) for t in texts)
+            texts.append(sub.text)
+            res.spans.extend(
+                (s + offset, e + offset, k) for s, e, k in sub.spans
+            )
+            res.n_events += sub.n_events
+            if not res.meta:
+                res.meta = sub.meta
+            if sub.main_content:
+                mains.append(sub.main_content)
+            for name_ in exports:
+                rendered = getattr(
+                    sub, {"html": "html", "meta_text": "meta_text",
+                          "csv": "csv"}[name_]
+                )
+                if rendered:
+                    renders[name_].append(rendered)
+        if n_entries and n_failed == n_entries:
+            raise ArchiveError("no entries were successfully processed")
+        res.text = b"".join(texts)
+        if want_main_content:
+            res.main_content = "\n".join(mains)
+        if "html" in exports:
+            res.html = b"".join(renders["html"])
+        if "meta_text" in exports:
+            res.meta_text = b"".join(renders["meta_text"])
+        if "csv" in exports:
+            res.csv = b"".join(renders["csv"])
+    except Exception as exc:
+        res.error = f"{type(exc).__name__}: {exc}"
+    return res
 
 
 def _parse_child(data: bytes, mime_hint: str | None):

@@ -43,12 +43,21 @@ def _attr(el, name: str):
     return None
 
 
+_OFFICE_BODY = (
+    "{urn:oasis:names:tc:opendocument:xmlns:office:1.0}body"
+)
+
+
 class _Walker:
     def __init__(self, zf: zipfile.ZipFile | None = None):
         self.zf = zf
         self.events: list = []
         self.list_styles: dict[str, list] = {}  # name -> [is_number]*10
         self.list_depth = 0
+        # flat-ODF: structural events fire everywhere but TEXT nodes
+        # are disabled until office:body (reference odfxml_parser.cpp
+        # onODFBody/disableText); zipped ODF starts enabled
+        self.suppress_text = False
 
     # -- list styles ----------------------------------------------------
     def scan_list_styles(self, root) -> None:
@@ -136,6 +145,8 @@ class _Walker:
     def walk(self, el) -> None:
         ev = self.events
         name = _local(el.tag)
+        if el.tag == _OFFICE_BODY:
+            self.suppress_text = False
         if name in ("p", "h"):
             ev.append((E.PARAGRAPH, None))
             self._inline(el)
@@ -158,6 +169,8 @@ class _Walker:
             self.annotation(el)
         elif name == "object":
             self.object(el)
+        elif name == "binary-data":
+            pass  # base64 payloads skipped (odfxml_parser onODFBinaryData)
         else:
             self.walk_children(el)
 
@@ -165,8 +178,16 @@ class _Walker:
         """Embedded ODF object: parse <href>/content.xml inline
         (reference onODFObject, common_xml_document_parser.cpp:
         483-506 — events emitted with no nested document wrapper)."""
+        if self.zf is None:
+            # flat ODF: the object's markup is inline; walk it with
+            # text disabled, then re-enable unconditionally
+            # (odfxml_parser.cpp onODFObject)
+            self.suppress_text = True
+            self.walk_children(el)
+            self.suppress_text = False
+            return
         href = _attr(el, "href") or ""
-        if not href or self.zf is None:
+        if not href:
             return
         path = (href[2:] if href.startswith("./") else href) + "/content.xml"
         try:
@@ -179,11 +200,18 @@ class _Walker:
                 self.walk_children(sub)
                 break
 
+    def _emit_text(self, s: str | None) -> None:
+        # all-whitespace nodes are suppressed (XML pretty-printing
+        # artifacts; reference onODFOOXMLText space_preserve rule,
+        # common_xml_document_parser.cpp:217) — real spaces travel as
+        # text:s elements
+        if s and not self.suppress_text and not s.isspace():
+            self.events.append((E.TEXT, s))
+
     def _inline(self, el) -> None:
         """Inside a paragraph: text nodes, spans, links, spaces."""
         ev = self.events
-        if el.text:
-            ev.append((E.TEXT, el.text))
+        self._emit_text(el.text)
         for child in el:
             name = _local(child.tag)
             if name == "s":
@@ -205,12 +233,13 @@ class _Walker:
                 self.annotation(child)
             elif name == "object":
                 self.object(child)
+            elif name == "binary-data":
+                pass
             elif name in ("list", "table"):
                 self.walk(child)
             else:
                 self._inline(child)
-            if child.tail:
-                ev.append((E.TEXT, child.tail))
+            self._emit_text(child.tail)
 
 
 def _metadata(zf: zipfile.ZipFile) -> dict:
@@ -218,6 +247,10 @@ def _metadata(zf: zipfile.ZipFile) -> dict:
         root = ET.fromstring(zf.read("meta.xml"))
     except (KeyError, ET.ParseError):
         return {}
+    return _meta_from_element(root)
+
+
+def _meta_from_element(root) -> dict:
     meta: dict = {}
     for el in root.iter():
         name = _local(el.tag)
@@ -262,6 +295,33 @@ def _page_count_fallback(zf: zipfile.ZipFile, meta: dict) -> None:
         or b"<office:drawing" in content
     ):
         meta["page_count"] = content.count(b"<draw:page ")
+
+
+def odf_flat_to_events(data: bytes):
+    """Flat ODF (single-file XML, reference odfxml_parser.cpp): the
+    walker covers the WHOLE document — structural events from styles/
+    master-pages fire (their paragraph eols are part of the goldens)
+    but text nodes are suppressed until office:body; embedded objects
+    keep text disabled (onODFObject)."""
+    root = ET.fromstring(data)
+    walker = _Walker()
+    walker.scan_list_styles(root)
+    walker.suppress_text = True
+    meta_el = None
+    for el in root.iter():
+        if _local(el.tag) == "meta":
+            meta_el = el
+            break
+    events: list = [(E.DOCUMENT, None)]
+    walker.walk_children(root)
+    events.extend(walker.events)
+    events.append((E.CLOSE_DOCUMENT, None))
+    meta = _meta_from_element(meta_el) if meta_el is not None else {}
+    if "page_count" not in meta and (
+        b"<office:presentation" in data or b"<office:drawing" in data
+    ):
+        meta["page_count"] = data.count(b"<draw:page ")
+    return events, meta
 
 
 def odf_to_events(data: bytes):

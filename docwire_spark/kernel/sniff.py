@@ -84,6 +84,17 @@ _MAGIC = [
 ]
 
 
+_ODF_FLAT_MARKERS = [
+    (b"application/vnd.oasis.opendocument.text",
+     "application/vnd.oasis.opendocument.text-flat-xml"),
+    (b"application/vnd.oasis.opendocument.spreadsheet",
+     "application/vnd.oasis.opendocument.spreadsheet-flat-xml"),
+    (b"application/vnd.oasis.opendocument.presentation",
+     "application/vnd.oasis.opendocument.presentation-flat-xml"),
+    (b"application/vnd.oasis.opendocument.graphics",
+     "application/vnd.oasis.opendocument.graphics-flat-xml"),
+]
+
 _OOXML_MARKERS = [
     (b"mimetypeapplication/vnd.oasis.opendocument.text",
      "application/vnd.oasis.opendocument.text"),
@@ -145,11 +156,24 @@ def detect_mime(data_prefix: bytes, url: str = "") -> tuple:
                 add(mime, VERY_HIGH)
                 sig_hit = True
                 break
+        if not sig_hit and data_prefix[257:262] == b"ustar":
+            add("application/x-tar", VERY_HIGH)
+            sig_hit = True
         if not sig_hit:
             head = data_prefix[:1024]
             hl = head.lstrip(b"\xef\xbb\xbf \t\r\n").lower()
             if hl.startswith(b"<?xml"):
-                add("application/xml", VERY_HIGH)
+                # flat-ODF refinement (content_type_odf_flat.cpp:17-37)
+                flat = None
+                if b"office:document" in data_prefix:
+                    for marker, m in _ODF_FLAT_MARKERS:
+                        if marker in data_prefix:
+                            flat = m
+                            break
+                if flat:
+                    add(flat, HIGHEST)
+                else:
+                    add("application/xml", VERY_HIGH)
             elif hl.startswith(b"<!doctype html") or hl.startswith(b"<html"):
                 add("text/html", VERY_HIGH)
             elif hl.startswith(b"{") or hl.startswith(b"["):

@@ -1,0 +1,97 @@
+"""Archive explode semantics (reference archives_parser.cpp:208-263):
+each entry renders as a complete standalone document; outputs
+concatenate in entry order; all-failed archives are uninterpretable;
+encrypted archives error out."""
+
+import bz2
+import gzip
+import io
+import lzma
+import tarfile
+import zipfile
+
+from docwire_spark.kernel.api import extract
+
+HTML = b"<html><body><p>hello archive</p></body></html>"
+TXT = b"plain text entry"
+
+
+def _zip(entries):
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        for name, data in entries:
+            zf.writestr(name, data)
+    return buf.getvalue()
+
+
+def _tar(entries):
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w") as tf:
+        for name, data in entries:
+            info = tarfile.TarInfo(name)
+            info.size = len(data)
+            tf.addfile(info, io.BytesIO(data))
+    return buf.getvalue()
+
+
+def test_zip_concatenates_standalone_renders():
+    data = _zip([("a.html", HTML), ("b.txt", TXT)])
+    got = extract(data, url="x.zip")
+    assert got.error is None
+    expected = extract(HTML, url="a.html").text + extract(TXT, url="b.txt").text
+    assert got.text == expected
+    assert got.mime == "application/zip"
+
+
+def test_tar_and_compressors():
+    tar = _tar([("a.html", HTML), ("b.txt", TXT)])
+    expected = extract(HTML, url="a.html").text + extract(TXT, url="b.txt").text
+    assert extract(tar, url="x.tar").text == expected
+    assert extract(gzip.compress(tar), url="x.tar.gz").text == expected
+    assert extract(bz2.compress(tar), url="x.tar.bz2").text == expected
+    assert extract(lzma.compress(tar), url="x.tar.xz").text == expected
+
+
+def test_gz_single_file_keeps_stripped_name():
+    got = extract(gzip.compress(HTML), url="page.html.gz")
+    assert got.error is None
+    assert got.text == extract(HTML, url="page.html").text
+
+
+def test_nested_zip():
+    inner = _zip([("inner.html", HTML)])
+    outer = _zip([("sub/inner.zip", inner), ("top.txt", TXT)])
+    got = extract(outer, url="x.zip")
+    assert got.error is None
+    assert got.text == (
+        extract(HTML, url="inner.html").text + extract(TXT, url="b.txt").text
+    )
+
+
+def test_unparseable_entries_skip_but_all_failed_errors():
+    junk = b"\x00\x01\x02\x03" * 16
+    mixed = _zip([("junk.bin", junk), ("a.html", HTML)])
+    got = extract(mixed, url="x.zip")
+    assert got.error is None
+    assert got.text == extract(HTML, url="a.html").text
+
+    allbad = _zip([("junk.bin", junk)])
+    got = extract(allbad, url="x.zip")
+    assert got.error is not None  # uninterpretable_data analog
+
+
+def test_encrypted_zip_errors():
+    data = open("/root/reference/tests/1_with_password.zip", "rb").read()
+    got = extract(data, url="1_with_password.zip")
+    assert got.error is not None and "encrypted" in got.error.lower()
+
+
+def test_spans_offsets_accumulate():
+    data = _zip([("a.html", HTML), ("b.html", HTML)])
+    got = extract(data, url="x.zip")
+    single = extract(HTML, url="a.html")
+    off = len(single.text)
+    assert got.spans[: len(single.spans)] == single.spans
+    assert got.spans[len(single.spans):] == [
+        (s + off, e + off, k) for s, e, k in single.spans
+    ]

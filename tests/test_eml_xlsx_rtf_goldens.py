@@ -31,6 +31,10 @@ ODF = (
     + [f"{n}.ods" for n in range(1, 10)]
     + [f"{n}.odp" for n in range(1, 10)]
     + [f"{n}.odg" for n in range(1, 10)]
+    + [f"{n}.fodt" for n in range(1, 10)] + ["ole.fodt"]
+    + [f"{n}.fods" for n in range(1, 10)]
+    + [f"{n}.fodp" for n in range(1, 10)]
+    + [f"{n}.fodg" for n in range(1, 10)]
 )
 
 
