@@ -169,11 +169,36 @@ def _parse_by_mime(data: bytes, mime: str):
         from docwire_spark.kernel.rtf_extract import rtf_to_events
 
         return rtf_to_events(data)
+    if mime in ("application/msword", "application/x-ole-storage",
+                "application/vnd.ms-excel", "application/vnd.ms-powerpoint"):
+        return _parse_ole(data, mime)
     if mime in XML_MIMES:
         return xml_to_events(data), {}
     if mime in TXT_MIMES:
         return txt_to_events(data), {}
     raise ValueError(f"unsupported mime type: {mime}")
+
+
+def _parse_ole(data: bytes, mime: str):
+    """OLE2 container dispatch by directory stream names (extension
+    hints can be wrong; the streams are authoritative)."""
+    from docwire_spark.kernel.cfb import CfbFile
+
+    cfb = CfbFile(data)
+    names = set(cfb.stream_names())
+    if "WordDocument" in names:
+        from docwire_spark.kernel.doc_extract import doc_to_events
+
+        return doc_to_events(data)
+    if "Workbook" in names or "Book" in names:
+        from docwire_spark.kernel.xls_extract import xls_to_events
+
+        return xls_to_events(data)
+    if "PowerPoint Document" in names:
+        from docwire_spark.kernel.ppt_extract import ppt_to_events
+
+        return ppt_to_events(data)
+    raise ValueError(f"unsupported OLE payload (streams: {sorted(names)[:4]})")
 
 
 def _extract_archive(

@@ -43,6 +43,9 @@ EXTENSION_MIME = {
     "php": "application/x-httpd-php",
     "rtf": "application/rtf",
     "eml": "message/rfc822",
+    "doc": "application/msword",
+    "xls": "application/vnd.ms-excel",
+    "ppt": "application/vnd.ms-powerpoint",
     "odt": "application/vnd.oasis.opendocument.text",
     "ods": "application/vnd.oasis.opendocument.spreadsheet",
     "odp": "application/vnd.oasis.opendocument.presentation",
@@ -81,6 +84,10 @@ _MAGIC = [
     (b"%!PS", "application/postscript"),
     (b"\x7fELF", "application/x-executable"),
     (b"SQLite format 3\x00", "application/vnd.sqlite3"),
+    # OLE2 compound file: refined to doc/xls/ppt by directory stream
+    # names at parse time (full payload needed; the reference's
+    # libmagic path resolves it the same way)
+    (b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1", "application/x-ole-storage"),
 ]
 
 
@@ -133,13 +140,16 @@ def detect_mime(data_prefix: bytes, url: str = "") -> tuple:
         if mime and mimes.get(mime, -1) < conf:
             mimes[mime] = conf
 
-    # 1. by extension (HIGH; .doc/.xls would be MEDIUM, out of scope)
+    # 1. by extension (HIGH; .doc/.xls/.ppt only MEDIUM — ambiguous
+    # legacy extensions, content sniffing may override;
+    # content_type_by_file_extension.cpp:1319-1337)
     if url:
         path = url.split("?", 1)[0].split("#", 1)[0]
         seg = path.rstrip("/").rsplit("/", 1)[-1]
         if "." in seg:
             ext = seg.rsplit(".", 1)[-1].lower()
-            add(EXTENSION_MIME.get(ext), HIGH)
+            conf = MEDIUM if ext in ("doc", "xls", "ppt") else HIGH
+            add(EXTENSION_MIME.get(ext), conf)
 
     # 2. by signature (VERY_HIGH), skipped if already >= HIGH
     if not mimes or max(mimes.values()) < HIGH:

@@ -26,6 +26,10 @@ DOCX = [f"{n}.docx" for n in range(1, 11)] + [
     "space_attributes_in_non_standard_places.docx",
 ]
 PPTX = [f"{n}.pptx" for n in range(1, 10)]
+DOC = [f"{n}.doc" for n in range(1, 10)] + [
+    "encoding_in_table.doc", "whitespaces.doc", "fields.doc",
+    "html_with_doc_ext.doc", "rtf_with_doc_ext.doc",
+]
 ODF = (
     [f"{n}.odt" for n in range(1, 10)] + ["ole.odt"]
     + [f"{n}.ods" for n in range(1, 10)]
@@ -45,7 +49,7 @@ def _golden(name):
     return open(path, "rb").read(), open(path + ".out", "rb").read()
 
 
-@pytest.mark.parametrize("name", EML + XLSX + RTF + DOCX + PPTX + ODF)
+@pytest.mark.parametrize("name", EML + XLSX + RTF + DOCX + PPTX + DOC + ODF)
 def test_plain_text_golden(name):
     data, exp = _golden(name)
     got = extract(data, url=name)
@@ -61,7 +65,8 @@ def test_multipart_related_ocr_attachment():
 
 
 @pytest.mark.parametrize(
-    "fmt", ["html", "xlsx", "rtf", "docx", "pptx", "odt", "ods", "odp", "odg"]
+    "fmt", ["html", "xlsx", "rtf", "docx", "pptx", "doc",
+            "odt", "ods", "odp", "odg"]
 )
 @pytest.mark.parametrize("variant", ["created", "modified"])
 def test_metadata_goldens(fmt, variant):
