@@ -100,10 +100,50 @@ class CfbFile:
                 continue
             name = raw[off : off + name_len - 2].decode("utf-16-le", "replace")
             etype = raw[off + 66]
+            left, right, child = struct.unpack_from("<III", raw, off + 68)
             (start,) = struct.unpack_from("<I", raw, off + 116)
             (size,) = struct.unpack_from("<Q", raw, off + 120)
-            entries.append((name, etype, start, size))
+            entries.append((name, etype, start, size, left, right, child))
         return entries
+
+    def _subtree_inorder(self, idx: int, out: list) -> None:
+        """In-order red-black-tree walk (= CFB name order)."""
+        if idx == 0xFFFFFFFF or idx >= len(self.dir_entries):
+            return
+        e = self.dir_entries[idx]
+        if e is None:
+            return
+        self._subtree_inorder(e[4], out)
+        out.append(idx)
+        self._subtree_inorder(e[5], out)
+
+    def children(self, storage_idx: int) -> list:
+        """Directory-entry indices of a storage's children, in CFB
+        name order."""
+        e = self.dir_entries[storage_idx]
+        out: list = []
+        if e is not None:
+            self._subtree_inorder(e[6], out)
+        return out
+
+    def find_child(self, storage_idx: int, name: str) -> int | None:
+        for idx in self.children(storage_idx):
+            if self.dir_entries[idx][0] == name:
+                return idx
+        return None
+
+    def root_index(self) -> int:
+        for i, e in enumerate(self.dir_entries):
+            if e and e[1] == 5:
+                return i
+        raise CfbError("no root storage")
+
+    def read_stream_at(self, idx: int) -> bytes:
+        e = self.dir_entries[idx]
+        if e is None or e[1] != 2:
+            raise CfbError("not a stream")
+        _n, _t, start, size = e[0], e[1], e[2], e[3]
+        return self._read_stream_data(start, size)
 
     def _root(self):
         for e in self.dir_entries:
@@ -113,9 +153,27 @@ class CfbFile:
 
     def _mini(self) -> bytes:
         if self._mini_stream is None:
-            _name, _t, start, size = self._root()
-            self._mini_stream = self._read_chain(start)[:size]
+            root = self._root()
+            self._mini_stream = self._read_chain(root[2])[: root[3]]
         return self._mini_stream
+
+    def _read_stream_data(self, start: int, size: int) -> bytes:
+        if size < self.mini_cutoff:
+            mini = self._mini()
+            out = []
+            sect = start
+            seen = set()
+            while (
+                sect not in (_ENDOFCHAIN, _FREESECT)
+                and sect < len(self.minifat)
+            ):
+                if sect in seen:
+                    raise CfbError("miniFAT cycle")
+                seen.add(sect)
+                out.append(mini[sect * self.mssz : (sect + 1) * self.mssz])
+                sect = self.minifat[sect]
+            return b"".join(out)[:size]
+        return self._read_chain(start)[:size]
 
     # -- public ----------------------------------------------------------
     def stream_names(self) -> list:
@@ -124,23 +182,5 @@ class CfbFile:
     def read_stream(self, name: str) -> bytes:
         for e in self.dir_entries:
             if e and e[1] == 2 and e[0] == name:
-                _n, _t, start, size = e
-                if size < self.mini_cutoff:
-                    mini = self._mini()
-                    out = []
-                    sect = start
-                    seen = set()
-                    while (
-                        sect not in (_ENDOFCHAIN, _FREESECT)
-                        and sect < len(self.minifat)
-                    ):
-                        if sect in seen:
-                            raise CfbError("miniFAT cycle")
-                        seen.add(sect)
-                        out.append(
-                            mini[sect * self.mssz : (sect + 1) * self.mssz]
-                        )
-                        sect = self.minifat[sect]
-                    return b"".join(out)[:size]
-                return self._read_chain(start)[:size]
+                return self._read_stream_data(e[2], e[3])
         raise KeyError(name)

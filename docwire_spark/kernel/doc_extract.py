@@ -163,7 +163,7 @@ class _PapxLookup:
         return (in_table, ttp)
 
 
-def _char_machine(text: str, flags_of=None) -> list:
+def _char_machine(text: str, flags_of=None, comments=None, obj_texts=None) -> list:
     """Char stream -> events (see module docstring for the marks).
 
     Content events (text/links/breaks) buffer in ``pending`` until a
@@ -209,7 +209,13 @@ def _char_machine(text: str, flags_of=None) -> list:
             if text:
                 pending.append((E.TEXT, text))
         elif keyword == "EMBED":
-            pass  # OLE object text (ObjectPool) — separate path
+            # embedded OLE object text spliced in document order
+            # (reference doc_parser.cpp:420-432 emits it at fieldStart;
+            # the instruction is suppressed so position is identical)
+            if obj_queue:
+                obj = obj_queue.pop(0).replace("\x0b", "\n")
+                if obj:
+                    pending.append((E.TEXT, obj))
         else:
             if value:
                 pending.append((E.TEXT, value))
@@ -272,7 +278,15 @@ def _char_machine(text: str, flags_of=None) -> list:
         ev.extend(pending)
         pending.clear()
         ev.append((E.CLOSE_PARAGRAPH, None))
+        # annotations referenced in this paragraph render right after
+        # it (reference emits them at the NEXT paragraphStart —
+        # byte-identical placement; doc_parser.cpp:343-352, 494-503)
+        while comment_queue and comment_queue[0][0] <= cp:
+            _cp, author, ctext = comment_queue.pop(0)
+            ev.append((E.COMMENT, (author, None, ctext)))
 
+    comment_queue = list(comments or [])
+    obj_queue = list(obj_texts or [])
     i = 0
     n = len(text)
     while i < n:
@@ -309,6 +323,8 @@ def _char_machine(text: str, flags_of=None) -> list:
     if pending or buf:
         end_unit("\r", n - 1 if n else 0)
     close_table()
+    for _cp, author, ctext in comment_queue:
+        ev.append((E.COMMENT, (author, None, ctext)))
     ev.append((E.CLOSE_DOCUMENT, None))
     return ev
 
@@ -344,11 +360,14 @@ def _summary_metadata(cfb: CfbFile) -> dict:
         codepage = "cp1252"
         if 1 in props:
             (cp,) = struct.unpack_from("<H", ps, props[1] + 4)
-            try:
-                "".encode().decode(f"cp{cp}")
-                codepage = f"cp{cp}"
-            except (LookupError, ValueError):
-                pass
+            if cp == 10000:
+                codepage = "mac_roman"
+            else:
+                try:
+                    "".encode().decode(f"cp{cp}")
+                    codepage = f"cp{cp}"
+                except (LookupError, ValueError):
+                    pass
 
         def lpstr(pid):
             if pid not in props:
@@ -403,6 +422,163 @@ def _summary_metadata(cfb: CfbFile) -> dict:
     return meta
 
 
+def _annotations(wd: bytes, table: bytes, text: str, ccp_text: int):
+    """[(ref_cp, author, comment_text)] sorted by ref_cp (reference
+    parse_comments, doc_parser.cpp:148-291: PlcfandTxt CP ranges in
+    the annotation sub-document, authors from GrpXstAtnOwners XSTs,
+    ref CPs + ATRD ibst from PlcfandRef)."""
+    fc_txt, lcb_txt = struct.unpack_from("<II", wd, 0xC2)
+    if lcb_txt == 0:
+        return []
+    ccp_ftn = struct.unpack_from("<i", wd, 0x50)[0]
+    ccp_hdd = struct.unpack_from("<i", wd, 0x54)[0]
+    ccp_mcr = struct.unpack_from("<i", wd, 0x58)[0]
+    ccp_atn = struct.unpack_from("<i", wd, 0x5C)[0]
+    base = ccp_text + ccp_ftn + ccp_hdd + ccp_mcr
+    plc = table[fc_txt : fc_txt + lcb_txt]
+    cps = struct.unpack_from(f"<{len(plc) // 4}I", plc, 0)
+    texts = []
+    for j in range(len(cps) - 1):
+        if cps[j] >= ccp_atn:
+            break
+        raw = text[base + cps[j] : base + cps[j + 1] - 1]
+        out = []
+        for ch in raw.lstrip("\x05"):
+            # reference quirk: annotation chars are read as single
+            # LOW bytes even for unicode pieces ("TODO: Unicode
+            # support in comments", doc_parser.cpp:200-213) — 'ź'
+            # renders as 'z' in the goldens
+            o = ord(ch) & 0xFF
+            if o >= 32 or 8 <= o <= 13:
+                out.append("\n" if o == 13 else chr(o))
+        texts.append("".join(out))
+    # authors
+    fc_own, lcb_own = struct.unpack_from("<II", wd, 0x1BA)
+    owners = []
+    pos = fc_own
+    end = fc_own + lcb_own
+    while pos + 2 <= end:
+        (ln,) = struct.unpack_from("<H", table, pos)
+        pos += 2
+        if pos + 2 * ln > end:
+            owners = []
+            break
+        owners.append(
+            table[pos : pos + 2 * ln].decode("utf-16-le", "replace")
+        )
+        pos += 2 * ln
+    # refs + ATRDs
+    fc_ref, lcb_ref = struct.unpack_from("<II", wd, 0xBA)
+    ref_cps = []
+    pos = fc_ref
+    while pos + 4 <= fc_ref + lcb_ref:
+        (cp,) = struct.unpack_from("<I", table, pos)
+        pos += 4
+        if cp >= ccp_text:
+            break
+        ref_cps.append(cp)
+    out = []
+    atrd_base = fc_ref + 4 * (len(ref_cps) + 1)
+    for i, cp in enumerate(ref_cps):
+        if i >= len(texts):
+            break
+        author = ""
+        off = atrd_base + 30 * i + 20
+        if off + 2 <= fc_ref + lcb_ref:
+            (ibst,) = struct.unpack_from("<H", table, off)
+            if ibst < len(owners):
+                author = owners[ibst]
+        out.append((cp, author, texts[i]))
+    return sorted(out)
+
+
+def _object_pool_texts(cfb: CfbFile) -> list:
+    """Embedded-object texts from the ObjectPool storage in CFB name
+    order (reference doc_parser.cpp:629-663: sub-storages with a
+    Workbook stream parse as XLS; others contribute an empty slot so
+    EMBED fields stay aligned)."""
+    try:
+        root = cfb.root_index()
+        pool = cfb.find_child(root, "ObjectPool")
+        if pool is None:
+            return []
+        out = []
+        for idx in cfb.children(pool):
+            e = cfb.dir_entries[idx]
+            obj_text = ""
+            if e[1] == 1:  # storage
+                wb_idx = cfb.find_child(idx, "Workbook")
+                if wb_idx is not None:
+                    from docwire_spark.kernel.xls_extract import (
+                        _parse_workbook,
+                    )
+
+                    try:
+                        obj_text = _parse_workbook(
+                            cfb.read_stream_at(wb_idx)
+                        )
+                    except Exception:
+                        obj_text = ""
+            out.append(obj_text)
+        return out
+    except Exception:
+        return []
+
+
+def _story_events(text, base, cp0, cp1, flags_of):
+    """Sub-document story -> content events (document wrapper and the
+    story's trailing guard paragraph stripped)."""
+    story = text[base + cp0 : base + cp1]
+    if not story.strip("\r\x07\x0c"):
+        return []
+    # the story's final paragraph mark is a guard, not content
+    if story.endswith("\r"):
+        story = story[:-1]
+    inner = _char_machine(
+        story, (lambda cp: flags_of(base + cp0 + cp)) if flags_of else None
+    )
+    return inner[1:-1]  # strip DOCUMENT/CLOSE_DOCUMENT
+
+
+def _header_footer_events(wd, table, text, ccp_text, flags_of):
+    """Header/footer stories from PlcfHdd (MS-DOC 2.8.25: stories 0-5
+    are separators; then per section hdrEven, hdrOdd, ftrEven, ftrOdd,
+    hdrFirst, ftrFirst).  The reference renders them as header events
+    before the body and footer events after it (doc_parser.cpp
+    subdocument_handler; the plain-text writer buffers footer content
+    until close_document)."""
+    ccp_ftn = struct.unpack_from("<i", wd, 0x50)[0]
+    ccp_hdd = struct.unpack_from("<i", wd, 0x54)[0]
+    if ccp_hdd <= 0:
+        return [], []
+    fc_hdd, lcb_hdd = struct.unpack_from("<II", wd, 0xF2)
+    if lcb_hdd < 8:
+        return [], []
+    plc = table[fc_hdd : fc_hdd + lcb_hdd]
+    n = len(plc) // 4
+    cps = struct.unpack_from(f"<{n}I", plc, 0)
+    base = ccp_text + ccp_ftn
+
+    def story(idx):
+        if idx + 1 >= len(cps):
+            return []
+        return _story_events(text, base, cps[idx], cps[idx + 1], flags_of)
+
+    header: list = []
+    footer: list = []
+    for idx in (6, 7, 10):  # hdrEven, hdrOdd, hdrFirst: first non-empty
+        ev = story(idx)
+        if ev:
+            header = [(E.HEADER, None), *ev, (E.CLOSE_HEADER, None)]
+            break
+    for idx in (8, 9, 11):  # ftrEven, ftrOdd, ftrFirst
+        ev = story(idx)
+        if ev:
+            footer = [(E.FOOTER, None), *ev, (E.CLOSE_FOOTER, None)]
+            break
+    return header, footer
+
+
 def doc_to_events(data: bytes):
     """Returns (events, meta)."""
     cfb = CfbFile(data)
@@ -416,5 +592,21 @@ def doc_to_events(data: bytes):
 
     except (struct.error, IndexError):
         flags_of = None
-    events = _char_machine(text[:ccp_text], flags_of)
+    try:
+        comments = _annotations(wd, table, text, ccp_text)
+    except (struct.error, IndexError):
+        comments = []
+    events = _char_machine(
+        text[:ccp_text], flags_of, comments, _object_pool_texts(cfb)
+    )
+    try:
+        header, footer = _header_footer_events(
+            wd, table, text, ccp_text, flags_of
+        )
+    except (struct.error, IndexError):
+        header, footer = [], []
+    if header or footer:
+        events = (
+            [events[0]] + header + events[1:-1] + footer + [events[-1]]
+        )
     return events, _summary_metadata(cfb)

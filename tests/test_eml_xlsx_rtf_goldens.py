@@ -29,7 +29,14 @@ PPTX = [f"{n}.pptx" for n in range(1, 10)]
 DOC = [f"{n}.doc" for n in range(1, 10)] + [
     "encoding_in_table.doc", "whitespaces.doc", "fields.doc",
     "html_with_doc_ext.doc", "rtf_with_doc_ext.doc",
+    "comments_libreoffice_3.5.doc", "embedded_spreadsheet.doc",
+    "header_footer.doc",
 ]
+XLS = [f"{n}.xls" for n in range(1, 10)] + [
+    "biff5.xls", "crash_test.xls", "shared_strings.xls",
+    "embedded_spreadsheet.doc",
+]
+PPT = [f"{n}.ppt" for n in range(1, 10)]
 ODF = (
     [f"{n}.odt" for n in range(1, 10)] + ["ole.odt"]
     + [f"{n}.ods" for n in range(1, 10)]
@@ -49,7 +56,9 @@ def _golden(name):
     return open(path, "rb").read(), open(path + ".out", "rb").read()
 
 
-@pytest.mark.parametrize("name", EML + XLSX + RTF + DOCX + PPTX + DOC + ODF)
+@pytest.mark.parametrize(
+    "name", EML + XLSX + RTF + DOCX + PPTX + DOC + XLS + PPT + ODF
+)
 def test_plain_text_golden(name):
     data, exp = _golden(name)
     got = extract(data, url=name)
@@ -65,7 +74,22 @@ def test_multipart_related_ocr_attachment():
 
 
 @pytest.mark.parametrize(
-    "fmt", ["html", "xlsx", "rtf", "docx", "pptx", "doc",
+    "name", ["test.zip", "test.tar", "test.tar.gz", "test.tar.bz2",
+             "test.tar.xz"]
+)
+def test_archive_goldens_prefix(name):
+    """Archive goldens end with OCR output of an embedded jpeg (no
+    OCR engine here): everything BEFORE the image entry must match
+    byte-for-byte."""
+    data, exp = _golden(name)
+    got = extract(data, url=name)
+    assert got.error is None
+    assert len(got.text) < len(exp)
+    assert exp.startswith(got.text)
+
+
+@pytest.mark.parametrize(
+    "fmt", ["html", "xlsx", "rtf", "docx", "pptx", "doc", "xls", "ppt",
             "odt", "ods", "odp", "odg"]
 )
 @pytest.mark.parametrize("variant", ["created", "modified"])
