@@ -149,6 +149,10 @@ def _parse_by_mime(data: bytes, mime: str):
         from docwire_spark.kernel.xlsx_extract import xlsx_to_events
 
         return xlsx_to_events(data)
+    if mime == "application/vnd.ms-excel.sheet.binary.macroenabled.12":
+        from docwire_spark.kernel.xlsb_extract import xlsb_to_events
+
+        return xlsb_to_events(data)
     if mime in DOCX_MIMES:
         from docwire_spark.kernel.docx_extract import docx_to_events
 

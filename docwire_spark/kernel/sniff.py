@@ -51,6 +51,7 @@ EXTENSION_MIME = {
     "odp": "application/vnd.oasis.opendocument.presentation",
     "odg": "application/vnd.oasis.opendocument.graphics",
     "xlsx": "application/vnd.openxmlformats-officedocument.spreadsheetml.sheet",
+    "xlsb": "application/vnd.ms-excel.sheet.binary.macroenabled.12",
     "docx": "application/vnd.openxmlformats-officedocument.wordprocessingml.document",
     "pptx": "application/vnd.openxmlformats-officedocument.presentationml.presentation",
     "zip": "application/zip",
@@ -111,6 +112,8 @@ _OOXML_MARKERS = [
      "application/vnd.oasis.opendocument.presentation"),
     (b"mimetypeapplication/vnd.oasis.opendocument.graphics",
      "application/vnd.oasis.opendocument.graphics"),
+    (b"xl/workbook.bin",
+     "application/vnd.ms-excel.sheet.binary.macroenabled.12"),
     (b"xl/workbook.xml",
      "application/vnd.openxmlformats-officedocument.spreadsheetml.sheet"),
     (b"word/document.xml",
@@ -202,6 +205,20 @@ def detect_mime(data_prefix: bytes, url: str = "") -> tuple:
         head = data_prefix[:1024]
         if b"<html" in head or b"<HTML" in head:
             add("text/html", HIGHEST)
+
+    # 4. ASP refinement (content_type_asp.cpp:17-39): html-ish pages
+    # with server-side tags become text/asp(.net) at HIGHEST — the
+    # alphabetical tie-break then routes them to the TXT parser
+    if not mimes or mimes.get("text/html", NONE) >= MEDIUM:
+        head2k = data_prefix[:2048]
+        if (
+            b"<%@ Page" in head2k or b"<%@page" in head2k
+            or b"<%@ Control" in head2k or b"<%@control" in head2k
+            or b'runat="server"' in head2k or b"<%#" in head2k
+        ):
+            add("text/aspdotnet", HIGHEST)
+        elif b"<%" in head2k or b"<!-- #include" in head2k:
+            add("text/asp", HIGHEST)
 
     if not mimes:
         return ("application/octet-stream", LOW)

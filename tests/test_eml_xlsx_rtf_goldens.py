@@ -37,6 +37,9 @@ XLS = [f"{n}.xls" for n in range(1, 10)] + [
     "embedded_spreadsheet.doc",
 ]
 PPT = [f"{n}.ppt" for n in range(1, 10)]
+XLSB = [f"{n}.xlsb" for n in range(1, 10)] + ["shared_strings.xlsb"]
+MISC = ["test.asp", "test.aspx", "test.json", "test.xml", "test.css",
+        "test.js", "1.fpp"]
 ODF = (
     [f"{n}.odt" for n in range(1, 10)] + ["ole.odt"]
     + [f"{n}.ods" for n in range(1, 10)]
@@ -57,7 +60,8 @@ def _golden(name):
 
 
 @pytest.mark.parametrize(
-    "name", EML + XLSX + RTF + DOCX + PPTX + DOC + XLS + PPT + ODF
+    "name", EML + XLSX + RTF + DOCX + PPTX + DOC + XLS + PPT + XLSB
+    + MISC + ODF
 )
 def test_plain_text_golden(name):
     data, exp = _golden(name)
