@@ -99,11 +99,37 @@ def extract(
         res.mime_confidence = CONFIDENCE_NAMES[conf]
         from docwire_spark.kernel.archive_extract import ARCHIVE_MIMES
 
+        if mime == "application/zip":
+            # iWork refinement needs the zip directory (the index file
+            # is rarely in the sniffable prefix) — reference
+            # content_type_iwork.cpp opens the archive the same way
+            app = _iwork_app(data)
+            if app is not None:
+                res.mime = {
+                    "pages": "application/vnd.apple.pages",
+                    "numbers": "application/vnd.apple.numbers",
+                    "key": "application/vnd.apple.keynote",
+                }[app]
+                res.mime_confidence = CONFIDENCE_NAMES[5]
+                from docwire_spark.kernel.iwork_extract import (
+                    iwork_to_events,
+                )
+
+                events, meta = iwork_to_events(data, app)
+                return _finish(res, events, meta, want_main_content, exports)
         if mime in ARCHIVE_MIMES:
             return _extract_archive(
                 res, data, mime, url, want_main_content, exports, _depth
             )
         events, meta = _parse_by_mime(data, mime)
+        return _finish(res, events, meta, want_main_content, exports)
+    except Exception as exc:  # per-row error capture (no continuation::stop)
+        res.error = f"{type(exc).__name__}: {exc}"
+    return res
+
+
+def _finish(res, events, meta, want_main_content, exports) -> ExtractResult:
+    try:
         res.meta = meta or {}
         res.n_events = sum(
             1 for k, _ in events if k not in (E.DOCUMENT, E.CLOSE_DOCUMENT)
@@ -128,9 +154,34 @@ def extract(
             from docwire_spark.kernel.csv_writer import render_csv
 
             res.csv = render_csv(events)
-    except Exception as exc:  # per-row error capture (no continuation::stop)
+    except Exception as exc:
         res.error = f"{type(exc).__name__}: {exc}"
     return res
+
+
+def _iwork_app(data: bytes) -> str | None:
+    """content_type_iwork.cpp:19-55: presentation.apxl -> keynote;
+    index.xml/index.apxl content decides pages/numbers/keynote."""
+    import zipfile as _zf
+    import io as _io
+
+    try:
+        zf = _zf.ZipFile(_io.BytesIO(data))
+        names = set(zf.namelist())
+        if "presentation.apxl" in names:
+            return "key"
+        for candidate in ("index.xml", "index.apxl"):
+            if candidate in names:
+                head = zf.read(candidate)
+                if b"<sl:document" in head:
+                    return "pages"
+                if b"<ls:document" in head:
+                    return "numbers"
+                if b"<key:presentation" in head:
+                    return "key"
+        return None
+    except Exception:
+        return None
 
 
 def _parse_by_mime(data: bytes, mime: str):

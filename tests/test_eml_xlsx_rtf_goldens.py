@@ -38,6 +38,11 @@ XLS = [f"{n}.xls" for n in range(1, 10)] + [
 ]
 PPT = [f"{n}.ppt" for n in range(1, 10)]
 XLSB = [f"{n}.xlsb" for n in range(1, 10)] + ["shared_strings.xlsb"]
+IWORK = (
+    [f"{n}.pages" for n in range(1, 10)]
+    + [f"{n}.numbers" for n in range(1, 10)]
+    + [f"{n}.key" for n in range(1, 10)]
+)
 MISC = ["test.asp", "test.aspx", "test.json", "test.xml", "test.css",
         "test.js", "1.fpp"]
 ODF = (
@@ -61,7 +66,7 @@ def _golden(name):
 
 @pytest.mark.parametrize(
     "name", EML + XLSX + RTF + DOCX + PPTX + DOC + XLS + PPT + XLSB
-    + MISC + ODF
+    + IWORK + MISC + ODF
 )
 def test_plain_text_golden(name):
     data, exp = _golden(name)
