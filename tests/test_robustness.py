@@ -1,0 +1,51 @@
+"""Hostile-input robustness: at 100 TB of web bytes every parser path
+sees garbage — extract() must capture per-row errors, never raise
+(reference analog: per-object exception_ptr messages, no
+continuation::stop in batch semantics)."""
+
+import os
+import random
+
+import pytest
+
+from docwire_spark.kernel.api import extract
+
+PREFIXES = [
+    b"", b"PK\x03\x04", b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1",
+    b"%PDF-1.4", b"{\\rtf1", b"<html>", b"\x1f\x8b\x08", b"BZh9",
+    b'<?xml version="1.0"?>', b"From: a@b\n\n", b"\xfd7zXZ\x00",
+]
+URLS = ["x.bin", "x.doc", "x.xls", "x.xlsx", "x.xlsb", "x.zip",
+        "x.eml", "x.pages", "x.html", "x.odt", "x.rtf", "x.tar.gz"]
+
+
+def test_fuzz_never_raises():
+    rng = random.Random(1234)
+    for _ in range(150):
+        pre = rng.choice(PREFIXES)
+        body = bytes(rng.randrange(256) for _ in range(rng.randrange(0, 1500)))
+        for url in URLS:
+            extract(pre + body, url=url)  # must not raise
+
+
+def test_truncated_real_files_never_raise():
+    rng = random.Random(99)
+    fixtures = ["1.doc", "1.xls", "1.ppt", "1.xlsb", "1.pages",
+                "1.docx", "1.odt", "first.eml", "1.rtf", "1.pdf"]
+    for name in fixtures:
+        data = open(f"/root/reference/tests/{name}", "rb").read()
+        for _ in range(5):
+            cut = rng.randrange(1, len(data))
+            extract(data[:cut], url=name)  # must not raise
+
+
+@pytest.mark.parametrize("name", [
+    "password_protected.pages", "password_protected.key",
+    "1_with_password.zip", "1_with_password_aes.zip",
+])
+def test_encrypted_inputs_error(name):
+    path = f"/root/reference/tests/{name}"
+    if not os.path.exists(path):
+        pytest.skip("fixture missing")
+    res = extract(open(path, "rb").read(), url=name)
+    assert res.error is not None  # file_encrypted analog
