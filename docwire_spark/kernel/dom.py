@@ -136,6 +136,9 @@ class _Tok:
         self.text = text
 
 
+_RAWTEXT_CLOSE_RE: dict = {}
+
+
 def tokenize(s: str):
     """Yield _Tok tokens; comments/doctypes/PIs are skipped."""
     i = 0
@@ -208,7 +211,11 @@ def tokenize(s: str):
         i = text_start = j
         yield _Tok("start", name=name, attrs=attrs, self_closing=self_closing)
         if name in RAWTEXT_ELEMENTS or name in RCDATA_ELEMENTS:
-            close = re.compile(r"</" + re.escape(name) + r"[\t\n\f\r />]", re.I)
+            close = _RAWTEXT_CLOSE_RE.get(name)
+            if close is None:
+                close = _RAWTEXT_CLOSE_RE[name] = re.compile(
+                    r"</" + re.escape(name) + r"[\t\n\f\r />]", re.I
+                )
             cm = close.search(s, i)
             if cm:
                 raw = s[i : cm.start()]
