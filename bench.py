@@ -29,6 +29,7 @@ HEADLINE = [
     "extract_rich",
     "extract_table",
     "extract_main_content",
+    "extract_format_dispatch",
     # text analysis
     "text_token_stats",
     "text_quality",

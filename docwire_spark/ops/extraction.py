@@ -292,7 +292,73 @@ SELECT doc_id,
 FROM t WHERE len(tokens) >= 4
 """
 
+def extract_format_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed-format corpus through the ONE pipeline: rows synthesized
+    as HTML, plain text, or XML by doc_id residue; the detector
+    cascade must route each to the right parser (SURVEY.md §2.2
+    dispatch rule), counted per mime with total extracted chars."""
+    docs = load(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    body = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(F.lit("<html><body><p>"), F.col("text"), F.lit("</p></body></html>")),
+    ).when(
+        F.col("doc_id") % 3 == 1,
+        F.col("text"),
+    ).otherwise(
+        F.concat(
+            F.lit('<?xml version="1.0"?><root><item>'),
+            F.col("text"),
+            F.lit("</item></root>"),
+        )
+    )
+    ext = F.when(F.col("doc_id") % 3 == 0, F.lit("html")).when(
+        F.col("doc_id") % 3 == 1, F.lit("txt")
+    ).otherwise(F.lit("xml"))
+    pages = docs.select(
+        F.concat(F.lit(_URL_PREFIX), did, F.lit("."), ext).alias("url"),
+        F.encode(body, "UTF-8").alias("html"),
+    )
+    res = extract_pages(pages, n_shards=16)
+    return (
+        res.groupBy("mime")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.length("extracted_text")).alias("total_chars"),
+            F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0)).alias(
+                "n_failed"
+            ),
+        )
+        .orderBy("mime")
+    )
+
+
+# expected chars per branch reconstructed analytically:
+# html -> trim(collapse(text)) + "\n\n" (close_paragraph +
+# close_document); txt -> text verbatim + "\n\n" (paragraph mode +
+# close_document); xml -> trim(collapse) + "\n" (close_document only)
+EXTRACT_FORMAT_DISPATCH_SQL = """
+WITH m AS (
+  SELECT doc_id,
+         CASE doc_id % 3
+           WHEN 0 THEN 'text/html'
+           WHEN 1 THEN 'text/plain'
+           ELSE 'application/xml' END AS mime,
+         CASE doc_id % 3
+           WHEN 0 THEN length(trim(regexp_replace(text, ' +', ' ', 'g'))) + 2
+           WHEN 1 THEN length(text) + 2
+           ELSE length(trim(regexp_replace(text, ' +', ' ', 'g'))) + 1
+         END AS n_chars
+  FROM documents
+)
+SELECT mime, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(0 AS BIGINT) AS n_failed
+FROM m GROUP BY mime ORDER BY mime
+"""
+
 QUERIES = {
+    "extract_format_dispatch": extract_format_dispatch,
     "extract_plain": extract_plain,
     "extract_rich": extract_rich,
     "extract_table": extract_table,
@@ -302,6 +368,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "extract_format_dispatch": EXTRACT_FORMAT_DISPATCH_SQL,
     "extract_plain": EXTRACT_PLAIN_SQL,
     "extract_rich": EXTRACT_RICH_SQL,
     "extract_table": EXTRACT_TABLE_SQL,
