@@ -243,6 +243,8 @@ class TreeBuilder:
         self.html.append(self.head)
         self.html.append(self.body)
         self.stack = [self.html]
+        self._p_indices = []       # open <p> stack indices (lazy-pruned)
+        self._pscope_indices = []  # table/td/th/caption scope boundaries
         self.in_body_phase = False
         self.saw_html = False
         self.saw_head = False
@@ -296,13 +298,22 @@ class TreeBuilder:
         return False
 
     def _close_p(self):
-        for idx in range(len(self.stack) - 1, 0, -1):
-            nm = self.stack[idx].name
-            if nm == "p":
-                del self.stack[idx:]
-                return
-            if nm in ("table", "td", "th", "caption", "html", "body"):
-                return
+        # equivalent to scanning the open stack top-down for a "p"
+        # stopping at table/cell boundaries, but O(1) via tracked
+        # indices — the naive walk is O(depth) per block tag and turns
+        # deeply nested crawl pages into O(n^2) parses
+        stack_len = len(self.stack)
+        p_idx = self._p_indices
+        while p_idx and p_idx[-1] >= stack_len:
+            p_idx.pop()
+        if not p_idx:
+            return
+        b_idx = self._pscope_indices
+        while b_idx and b_idx[-1] >= stack_len:
+            b_idx.pop()
+        last_b = b_idx[-1] if b_idx else 0
+        if p_idx[-1] > last_b:
+            del self.stack[p_idx.pop():]
 
     def _close_li_dd_dt(self, name):
         group = ("li",) if name == "li" else ("dd", "dt")
@@ -318,6 +329,10 @@ class TreeBuilder:
         node = Node(ELEMENT, name, attrs)
         (parent if parent is not None else self._top()).append(node)
         if push and name not in VOID_ELEMENTS:
+            if name == "p":
+                self._p_indices.append(len(self.stack))
+            elif name in ("table", "td", "th", "caption"):
+                self._pscope_indices.append(len(self.stack))
             self.stack.append(node)
         return node
 
@@ -505,10 +520,7 @@ def _fix_in_table_row_mode(node, child):
     return _fix_in_table_mode(node, child)
 
 
-def fix_dom(node):
-    """Post-order WHATWG table-mode fix-up (reference fix_dom)."""
-    for child in list(node.children):
-        fix_dom(child)
+def _fix_one(node):
     if node.type != ELEMENT:
         return
     name = node.name
@@ -523,6 +535,21 @@ def fix_dom(node):
     for child in list(node.children):
         if child.type == ELEMENT:
             fixer(node, child)
+
+
+def fix_dom(node):
+    """Post-order WHATWG table-mode fix-up (reference fix_dom);
+    iterative — crawl pages nest deeper than Python's recursion
+    limit."""
+    stack = [(node, False)]
+    while stack:
+        cur, processed = stack.pop()
+        if processed:
+            _fix_one(cur)
+            continue
+        stack.append((cur, True))
+        for child in reversed(cur.children):
+            stack.append((child, False))
 
 
 def parse_html(text: str) -> Node:

@@ -265,17 +265,25 @@ def _process_tag(ctx, node, closing):
 
 
 def _process_node(ctx, node):
+    """Iterative DOM walk (explicit stack): crawl pages nest
+    thousands of elements deep, far past Python's recursion limit —
+    the reference's lexbor walk is iterative too."""
     if node is None:
         return
-    if node.type == ELEMENT:
-        _process_tag(ctx, node, False)
-    elif node.type == TEXT:
-        if not (ctx.in_metadata or ctx.in_title or ctx.in_script):
-            _process_text(ctx, node.text)
-    for child in node.children:
-        _process_node(ctx, child)
-    if node.type == ELEMENT:
-        _process_tag(ctx, node, True)
+    stack = [(node, False)]
+    while stack:
+        cur, closing = stack.pop()
+        if closing:
+            _process_tag(ctx, cur, True)
+            continue
+        if cur.type == ELEMENT:
+            _process_tag(ctx, cur, False)
+            stack.append((cur, True))
+        elif cur.type == TEXT:
+            if not (ctx.in_metadata or ctx.in_title or ctx.in_script):
+                _process_text(ctx, cur.text)
+        for child in reversed(cur.children):
+            stack.append((child, False))
 
 
 def html_to_events(text: str):

@@ -39,6 +39,36 @@ def test_truncated_real_files_never_raise():
             extract(data[:cut], url=name)  # must not raise
 
 
+def test_deeply_nested_html_is_linear():
+    """Crawl pages nest thousands deep: the DOM walk and table fix-up
+    are iterative, and <p>-closing uses tracked indices — a 60k-deep
+    page must extract correctly in well under a second per 10k depth
+    (was RecursionError + O(n^2) before)."""
+    import time
+
+    depth = 60_000
+    html = (
+        b"<html><body>" + b"<div>" * depth + b"text"
+        + b"</div>" * depth + b"</body></html>"
+    )
+    t0 = time.time()
+    res = extract(html, url="deep.html")
+    assert res.error is None
+    assert res.text.startswith(b"text")
+    assert time.time() - t0 < 10.0
+
+
+def test_huge_document():
+    big = (
+        b"<html><body>"
+        + b"<p>lorem ipsum dolor sit amet</p>" * 100_000
+        + b"</body></html>"
+    )
+    res = extract(big, url="big.html")
+    assert res.error is None
+    assert res.text.count(b"lorem") == 100_000
+
+
 @pytest.mark.parametrize("name", [
     "password_protected.pages", "password_protected.key",
     "1_with_password.zip", "1_with_password_aes.zip",
