@@ -233,6 +233,45 @@ def tokenize(s: str):
         yield _Tok("text", text=_unescape(s[text_start:]))
 
 
+
+class _OpenStack:
+    """Open-elements stack with per-name open counts, so unmatched
+    end tags short-circuit in O(1) instead of scanning the stack
+    (adversarial </x> floods on deep pages were O(n^2))."""
+
+    __slots__ = ("items", "counts")
+
+    def __init__(self, root):
+        self.items = [root]
+        self.counts = {root.name: 1}
+
+    def append(self, node):
+        c = self.counts
+        c[node.name] = c.get(node.name, 0) + 1
+        self.items.append(node)
+
+    def truncate(self, idx):
+        c = self.counts
+        for node in self.items[idx:]:
+            c[node.name] -= 1
+        del self.items[idx:]
+
+    def count(self, name):
+        return self.counts.get(name, 0)
+
+    def __len__(self):
+        return len(self.items)
+
+    def __getitem__(self, i):
+        return self.items[i]
+
+    def __iter__(self):
+        return iter(self.items)
+
+    def __reversed__(self):
+        return reversed(self.items)
+
+
 class TreeBuilder:
     def __init__(self):
         self.root = Node(DOCUMENT_NODE, "#document")
@@ -242,7 +281,7 @@ class TreeBuilder:
         self.root.append(self.html)
         self.html.append(self.head)
         self.html.append(self.body)
-        self.stack = [self.html]
+        self.stack = _OpenStack(self.html)
         self._p_indices = []       # open <p> stack indices (lazy-pruned)
         self._pscope_indices = []  # table/td/th/caption scope boundaries
         self.in_body_phase = False
@@ -289,9 +328,9 @@ class TreeBuilder:
         for idx in range(len(self.stack) - 1, 0, -1):
             nm = self.stack[idx].name
             if nm in names:
-                del self.stack[idx + 1 :]
+                self.stack.truncate(idx + 1)
                 if inclusive:
-                    del self.stack[idx]
+                    self.stack.truncate(idx)
                 return True
             if nm in stops and nm not in names:
                 return False
@@ -313,14 +352,14 @@ class TreeBuilder:
             b_idx.pop()
         last_b = b_idx[-1] if b_idx else 0
         if p_idx[-1] > last_b:
-            del self.stack[p_idx.pop():]
+            self.stack.truncate(p_idx.pop())
 
     def _close_li_dd_dt(self, name):
         group = ("li",) if name == "li" else ("dd", "dt")
         for idx in range(len(self.stack) - 1, 0, -1):
             nm = self.stack[idx].name
             if nm in group:
-                del self.stack[idx:]
+                self.stack.truncate(idx)
                 return
             if nm in ("ul", "ol", "dl", "table", "td", "th", "caption", "html", "body", "div"):
                 return
@@ -339,7 +378,7 @@ class TreeBuilder:
     def _ensure_body_phase(self):
         if not self.in_body_phase:
             self.in_body_phase = True
-            if self.stack == [self.html]:
+            if len(self.stack) == 1:
                 self.stack.append(self.body)
 
     # -- token handlers ------------------------------------------------
@@ -430,7 +469,7 @@ class TreeBuilder:
             for idx in range(len(self.stack) - 1, 0, -1):
                 nm = self.stack[idx].name
                 if nm == "a":
-                    del self.stack[idx:]
+                    self.stack.truncate(idx)
                     break
                 if nm in ("td", "th", "caption", "table", "html", "body", "div", "p"):
                     break
@@ -453,10 +492,12 @@ class TreeBuilder:
             self._pop_to((name,), inclusive=True)
             return
         # generic: find matching element without crossing table/cell bounds
+        if self.stack.count(name) == 0:
+            return  # O(1) rejection of unmatched end tags
         for idx in range(len(self.stack) - 1, 0, -1):
             node = self.stack[idx]
             if node.name == name:
-                del self.stack[idx:]
+                self.stack.truncate(idx)
                 return
             if node.name in TABLE_SCOPE_STOPS:
                 return
