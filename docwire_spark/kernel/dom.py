@@ -291,7 +291,7 @@ class TreeBuilder:
 
     # -- helpers -------------------------------------------------------
     def _top(self):
-        return self.stack[-1]
+        return self.stack.items[-1]
 
     def _append_text(self, target, text):
         if target.children and target.children[-1].type == TEXT:
@@ -304,13 +304,13 @@ class TreeBuilder:
         table structure (current node is table/tbody/thead/tfoot/tr/
         colgroup), else None — this is the WHATWG condition for foster
         parenting."""
-        top = self.stack[-1]
+        top = self.stack.items[-1]
         if top.name in ("table", "tr", "colgroup") or top.name in TABLE_SECTIONS:
             return top
         return None
 
     def _nearest_table(self):
-        for node in reversed(self.stack):
+        for node in reversed(self.stack.items):
             if node.name == "table":
                 return node
         return None
@@ -325,8 +325,9 @@ class TreeBuilder:
     def _pop_to(self, names, inclusive=False, stops=TABLE_SCOPE_STOPS):
         """Pop stack until top is one of ``names`` (then optionally pop
         it too). Returns True when found."""
-        for idx in range(len(self.stack) - 1, 0, -1):
-            nm = self.stack[idx].name
+        items = self.stack.items
+        for idx in range(len(items) - 1, 0, -1):
+            nm = items[idx].name
             if nm in names:
                 self.stack.truncate(idx + 1)
                 if inclusive:
@@ -356,8 +357,9 @@ class TreeBuilder:
 
     def _close_li_dd_dt(self, name):
         group = ("li",) if name == "li" else ("dd", "dt")
-        for idx in range(len(self.stack) - 1, 0, -1):
-            nm = self.stack[idx].name
+        items = self.stack.items
+        for idx in range(len(items) - 1, 0, -1):
+            nm = items[idx].name
             if nm in group:
                 self.stack.truncate(idx)
                 return
@@ -466,8 +468,9 @@ class TreeBuilder:
             self._close_li_dd_dt(name)
         if name in ("a",):
             # crude adoption-agency: close an open <a> first (spec)
-            for idx in range(len(self.stack) - 1, 0, -1):
-                nm = self.stack[idx].name
+            items = self.stack.items
+            for idx in range(len(items) - 1, 0, -1):
+                nm = items[idx].name
                 if nm == "a":
                     self.stack.truncate(idx)
                     break
@@ -494,8 +497,9 @@ class TreeBuilder:
         # generic: find matching element without crossing table/cell bounds
         if self.stack.count(name) == 0:
             return  # O(1) rejection of unmatched end tags
-        for idx in range(len(self.stack) - 1, 0, -1):
-            node = self.stack[idx]
+        items = self.stack.items
+        for idx in range(len(items) - 1, 0, -1):
+            node = items[idx]
             if node.name == name:
                 self.stack.truncate(idx)
                 return
