@@ -357,8 +357,62 @@ SELECT mime, CAST(count(*) AS BIGINT) AS n_docs,
 FROM m GROUP BY mime ORDER BY mime
 """
 
+def extract_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-span offsets (north-star deliverable): the link+text
+    template yields exactly two spans per document — the ``<url>``
+    link render at [0, len(url)+2) and the text at [link_end,
+    link_end+len(text)) — reconstructed analytically in the oracle."""
+    docs = load(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    pages = docs.select(
+        F.concat(F.lit(_URL_PREFIX), did).alias("url"),
+        F.encode(
+            F.concat(
+                F.lit('<html><body><p><a href="https://ex.com/'),
+                did,
+                F.lit('">anchor</a> '),
+                F.col("text"),
+                F.lit("</p></body></html>"),
+            ),
+            "UTF-8",
+        ).alias("html"),
+    )
+    res = extract_pages(pages, n_shards=16)
+    return (
+        res.select(
+            F.element_at(F.split("url", "/"), -1).cast("bigint").alias("doc_id"),
+            F.posexplode("spans").alias("span_idx", "span"),
+        )
+        .select(
+            "doc_id", "span_idx",
+            F.col("span.start").alias("span_start"),
+            F.col("span.end").alias("span_end"),
+            F.col("span.kind").alias("kind"),
+        )
+    )
+
+
+# three spans: link render '<https://ex.com/<id>>' (17+len(id)+1);
+# 'anchor' flushed at </a> (buffer flushes at every tag); then
+# ' ' + collapsed doc text right-trimmed at the block end
+EXTRACT_SPANS_SQL = """
+WITH base AS (
+  SELECT doc_id,
+         17 + length(CAST(doc_id AS VARCHAR)) AS link_len,
+         1 + length(trim(regexp_replace(text, ' +', ' ', 'g'))) AS tail_len
+  FROM documents
+)
+SELECT doc_id, 0 AS span_idx, 0 AS span_start, link_len AS span_end,
+       'link' AS kind FROM base
+UNION ALL
+SELECT doc_id, 1, link_len, link_len + 6, 'text' FROM base
+UNION ALL
+SELECT doc_id, 2, link_len + 6, link_len + 6 + tail_len, 'text' FROM base
+"""
+
 QUERIES = {
     "extract_format_dispatch": extract_format_dispatch,
+    "extract_spans": extract_spans,
     "extract_plain": extract_plain,
     "extract_rich": extract_rich,
     "extract_table": extract_table,
@@ -369,6 +423,7 @@ QUERIES = {
 
 ORACLES = {
     "extract_format_dispatch": EXTRACT_FORMAT_DISPATCH_SQL,
+    "extract_spans": EXTRACT_SPANS_SQL,
     "extract_plain": EXTRACT_PLAIN_SQL,
     "extract_rich": EXTRACT_RICH_SQL,
     "extract_table": EXTRACT_TABLE_SQL,
