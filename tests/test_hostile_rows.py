@@ -36,3 +36,19 @@ def test_multimodal_stub_contract():
     assert hdr["width"] == 16 + (ord("a") % 16) * 8
     assert hdr["duration_ms"] is None
     assert parse_media_header(b"ab", "audio")["duration_ms"] == 6
+
+
+def test_multi_megabyte_rows_extract(spark):
+    """Fat-tail rows (multi-MB pages exist in every crawl) must flow
+    through the Arrow batches without task failure, alongside normal
+    rows in the same partition."""
+    big_body = b"<p>hello big page</p>" * 150_000  # ~3 MB
+    rows = [
+        ("u_big", b"<html><body>" + big_body + b"</body></html>"),
+        ("u_small", b"<html><body><p>tiny</p></body></html>"),
+    ]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    out = {r.url: r for r in extract_pages(df, n_shards=2).collect()}
+    assert out["u_big"].error is None
+    assert out["u_big"].extracted_text.count("hello big page") == 150_000
+    assert out["u_small"].extracted_text == "tiny\n\n"
