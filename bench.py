@@ -8,10 +8,12 @@ ONE JSON line:
 Each query is forced end-to-end with the noop sink (full
 materialization, no collect/driver bottleneck, no output IO cost).
 
-Brute-force O(n^2) validation ops (dedup_jaccard_exact,
-dedup_simhash_pairs, dedup_embedding) are intentionally NOT headline
-queries — they exist as small-scale ground truth for the LSH paths and
-do not belong in a scale benchmark.
+The only brute-force O(n^2) validation op (dedup_jaccard_exact) is
+intentionally NOT a headline query — it exists as small-scale ground
+truth for the LSH recall tests and does not belong in a scale
+benchmark.  dedup_simhash_pairs (pigeonhole block equi-join) and
+dedup_embedding (banded sign-LSH equi-join) ARE headline queries: both
+are shuffle-on-key plans with no cartesian product.
 """
 
 from __future__ import annotations
@@ -39,6 +41,8 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_simhash_pairs",
+    "dedup_embedding",
     # similarity search
     "similarity_topk",
     "similarity_ann_lsh",

@@ -3,52 +3,42 @@
 - ``similarity_topk``: brute-force cosine top-k for a fixed query set.
   The query side is tiny and broadcast; the scan side streams — the
   canonical "exact" baseline.
-- ``similarity_ann_lsh``: random-hyperplane LSH variant (the scale
-  path): 8 deterministic ±1 hyperplanes -> 8 sign bits -> bucket id;
-  candidates are co-bucketed rows only.  At cluster scale the bucket
-  id is the shuffle key, so each bucket's top-k is a local problem —
-  no all-pairs shuffle.
+- ``similarity_ann_lsh``: multi-band random-hyperplane LSH (the scale
+  path): 96 deterministic ±1 hyperplanes grouped into 24 bands of 4
+  sign bits (the same family the embedding dedup uses); a vector is a
+  candidate for a query iff they share at least one band key.
+  Candidate generation is an equi-join on (band, key) — the shuffle
+  key at cluster scale — followed by a distinct over the small
+  (query, neighbor) id set and exact scoring of candidates only.
+  Measured recall@5 vs the brute-force top-5 is asserted in
+  tests/test_dedup_lsh.py (single-band sign-LSH at k=8 planes had
+  ~5% precision on this corpus — multi-band is what makes sign-LSH
+  usable for retrieval).
 
-All arithmetic uses built-in higher-order functions (``zip_with`` /
-``aggregate``) over ``array<double>`` — JVM-side, sequential left
-fold, so the DuckDB oracle reproduces results bit-for-bit (both
-engines do IEEE-754 double ops over identical float32 inputs in the
-same order).  Scores are additionally rounded to 6 decimals and the
-rounded value is used for ranking so ordering is stable across
-engines.
+All verification arithmetic uses built-in higher-order functions
+(``zip_with`` / ``aggregate``) over ``array<double>`` — JVM-side,
+sequential left fold, so the DuckDB oracle reproduces results
+bit-for-bit (both engines do IEEE-754 double ops over identical
+float32 inputs in the same order).  Scores are additionally rounded
+to 6 decimals and the rounded value is used for ranking so ordering
+is stable across engines.
 """
 
 from __future__ import annotations
 
-import hashlib
-
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from docwire_spark.ops.common import load
+from docwire_spark.ops.dedup import (
+    EMB_BAND_SIZE, EMB_DIM, EMB_N_BANDS, _EMB_SCHEMA, _emb_band_batches,
+    _emb_planes,
+)
 
-DIM = 64
-N_PLANES = 8
+DIM = EMB_DIM
 TOPK = 10
 LSH_TOPK = 5
 N_QUERIES = 10
 LSH_N_QUERIES = 20
-
-
-def _plane_weights() -> list[list[int]]:
-    """Deterministic ±1 hyperplanes: sign from md5('{p}_{d}') nibble.
-
-    Computed driver-side once and embedded as a literal in both the
-    Spark plan and the DuckDB oracle, so no engine-specific hashing is
-    involved.
-    """
-    return [
-        [
-            1 if int(hashlib.md5(f"{p}_{d}".encode()).hexdigest()[0], 16) < 8
-            else -1
-            for d in range(DIM)
-        ]
-        for p in range(N_PLANES)
-    ]
 
 
 def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -122,48 +112,43 @@ QUALIFY rank <= {TOPK}
 """
 
 
-def _with_bucket(vecs: DataFrame) -> DataFrame:
-    # one flat zip_with per plane (a nested per-element lookup into the
-    # 8x64 literal matrix re-evaluates the array construction per
-    # lambda step — O(dim * planes * dim) per row; this is O(dim) each)
-    out = vecs
-    bucket = F.lit(0).cast("bigint")
-    for p, row in enumerate(_plane_weights()):
-        w_lit = "array(" + ",".join(str(w) for w in row) + ")"
-        out = out.withColumn(
-            f"_proj_{p}",
-            F.expr(
-                f"aggregate(zip_with(v, {w_lit}, (x, w) -> x * w), 0D,"
-                " (acc, x) -> acc + x)"
-            ),
-        )
-        bucket = bucket + F.when(
-            F.col(f"_proj_{p}") > 0, F.lit(2 ** p)
-        ).otherwise(F.lit(0)).cast("bigint")
-    return out.withColumn("bucket", bucket).drop(
-        *[f"_proj_{p}" for p in range(N_PLANES)]
-    )
-
-
 def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    vecs = _with_bucket(_vectors(spark, sf_dir))
-    queries = vecs.filter(F.col("vec_id") < LSH_N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("v").alias("qv"),
-        F.col("norm").alias("qnorm"),
-        "bucket",
+    """Multi-band sign-LSH retrieval: band keys from the shared numpy
+    kernel; candidates via the (band, key) equi-join against the tiny
+    broadcast query side; distinct ids; exact-score candidates only;
+    window top-k.  At cluster scale the band table is the shuffle
+    key and the scored candidate set is ~(recall-controlled) orders
+    of magnitude smaller than the corpus."""
+    vecs = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    cands = vecs.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("v").alias("nv"),
-        F.col("norm").alias("nnorm"),
-        "bucket",
+    banded = vecs.mapInPandas(_emb_band_batches, _EMB_SCHEMA).persist()
+    bands = banded.select(
+        "vec_id", F.posexplode("keys").alias("band", "key")
     )
-    # equi-join on bucket: at scale this is the shuffle key (each LSH
-    # bucket's candidates co-locate); query side is small -> broadcast
+    qbands = bands.filter(F.col("vec_id") < LSH_N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "band", "key"
+    )
+    cand = (
+        bands.join(F.broadcast(qbands), on=["band", "key"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        .distinct()
+    )
+    vn = banded.withColumn(
+        "norm", F.expr("sqrt(aggregate(v, 0D, (acc, x) -> acc + x * x))")
+    ).select("vec_id", "v", "norm")
     scored = (
-        cands.join(F.broadcast(queries), on="bucket")
-        .filter(F.col("neighbor_id") != F.col("query_id"))
+        cand.join(
+            vn.select(F.col("vec_id").alias("query_id"),
+                      F.col("v").alias("qv"), F.col("norm").alias("qnorm")),
+            "query_id",
+        )
+        .join(
+            vn.select(F.col("vec_id").alias("neighbor_id"),
+                      F.col("v").alias("nv"), F.col("norm").alias("nnorm")),
+            "neighbor_id",
+        )
         .withColumn("cos_sim", F.expr(_COS))
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -172,14 +157,18 @@ def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= LSH_TOPK)
-        .select("query_id", "bucket", "neighbor_id", "rank", "cos_sim")
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
     )
 
 
 def _ann_lsh_sql() -> str:
     values = ",".join(
         "(" + str(p) + ", [" + ",".join(str(w) for w in row) + "])"
-        for p, row in enumerate(_plane_weights())
+        for p, row in enumerate(_emb_planes())
+    )
+    dot = (
+        f"list_sum(list_transform(generate_series(1, {DIM}),"
+        " i -> v[i] * wts[i]))"
     )
     return f"""
 WITH w(p, wts) AS (VALUES {values}),
@@ -190,25 +179,26 @@ e AS (
   FROM embeddings
 ),
 proj AS (
-  SELECT vec_id,
-         CAST(sum(CASE WHEN list_sum(list_transform(
-                          generate_series(1, {DIM}), i -> v[i] * wts[i])) > 0
-                       THEN (1::BIGINT << p) ELSE 0 END)
-              AS BIGINT) AS bucket
-  FROM e, w GROUP BY vec_id
+  SELECT e.vec_id, p // {EMB_BAND_SIZE} AS band,
+         CAST(sum(CASE WHEN {dot} > 0
+                       THEN (1 << (p % {EMB_BAND_SIZE})) ELSE 0 END)
+              AS INT) AS key
+  FROM e, w GROUP BY e.vec_id, p // {EMB_BAND_SIZE}
 ),
-bucketed AS (
-  SELECT e.vec_id, e.v, e.norm, proj.bucket
-  FROM e JOIN proj ON e.vec_id = proj.vec_id
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, p.vec_id AS neighbor_id
+  FROM proj p JOIN proj q ON p.band = q.band AND p.key = q.key
+                         AND p.vec_id <> q.vec_id
+  WHERE q.vec_id < {LSH_N_QUERIES}
 ),
 scored AS (
-  SELECT a.vec_id AS query_id, a.bucket AS bucket, b.vec_id AS neighbor_id,
+  SELECT c.query_id, c.neighbor_id,
          round({_DOT_SQL} / (a.norm * b.norm), 6) AS cos_sim
-  FROM bucketed a JOIN bucketed b
-    ON a.bucket = b.bucket AND b.vec_id <> a.vec_id
-  WHERE a.vec_id < {LSH_N_QUERIES}
+  FROM cand c
+  JOIN e a ON a.vec_id = c.query_id
+  JOIN e b ON b.vec_id = c.neighbor_id
 )
-SELECT query_id, bucket, neighbor_id,
+SELECT query_id, neighbor_id,
        CAST(row_number() OVER (PARTITION BY query_id
                                ORDER BY cos_sim DESC, neighbor_id)
             AS BIGINT) AS rank,

@@ -1,0 +1,136 @@
+"""Recall/exactness gates for the LSH dedup + similarity paths.
+
+The LSH plans are approximate BY SPEC (banded candidate generation);
+these tests pin their measured quality against the exact ground truth
+so a parameter regression (band sizing, hash family, plane family)
+fails loudly instead of silently losing recall.
+
+Measured values at sf0.001 when the floors were set:
+- minhash-LSH pair recall @ j>=0.7:  0.998   (floor 0.95)
+- embedding-LSH pair recall @ c>=0.3: 0.965  (floor 0.90)
+- simhash pigeonhole pairs:           exact  (equality, not a floor)
+- ann recall@5 vs brute-force top-5:  0.94   (floor 0.85)
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+
+SF_DIR = os.path.join(
+    os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata"), "sf0.001"
+)
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(SF_DIR), reason="testdata not available"
+)
+
+
+def _pairs(df, a="doc_a", b="doc_b"):
+    return {(r[a], r[b]) for r in df.collect()}
+
+
+def test_minhash_lsh_recall_vs_exact(spark):
+    from docwire_spark.ops.dedup import dedup_jaccard_exact, dedup_minhash_lsh
+
+    truth = _pairs(dedup_jaccard_exact(spark, SF_DIR))
+    got = _pairs(dedup_minhash_lsh(spark, SF_DIR))
+    assert got <= truth  # verify step keeps only true pairs
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.95, f"minhash-LSH recall {recall:.4f} < 0.95"
+
+
+def test_minhash_lsh_jaccard_values_match_exact(spark):
+    from docwire_spark.ops.dedup import dedup_jaccard_exact, dedup_minhash_lsh
+
+    truth = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup_jaccard_exact(spark, SF_DIR).collect()
+    }
+    for r in dedup_minhash_lsh(spark, SF_DIR).collect():
+        assert truth[(r["doc_a"], r["doc_b"])] == r["jaccard"]
+
+
+def test_simhash_pigeonhole_is_exact(spark):
+    """13 blocks over 60 bits guarantee recall 1.0 at distance <= 12:
+    the block plan must equal the brute-force pair set exactly."""
+    from docwire_spark.ops.dedup import (
+        HAMMING_THRESHOLD, dedup_simhash, dedup_simhash_pairs,
+    )
+
+    sigs = {r["doc_id"]: r["simhash"]
+            for r in dedup_simhash(spark, SF_DIR).collect()}
+    ids = sorted(sigs)
+    truth = {
+        (a, b): bin(sigs[a] ^ sigs[b]).count("1")
+        for i, a in enumerate(ids)
+        for b in ids[i + 1:]
+        if bin(sigs[a] ^ sigs[b]).count("1") <= HAMMING_THRESHOLD
+    }
+    got = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in dedup_simhash_pairs(spark, SF_DIR).collect()
+    }
+    assert got == truth
+
+
+def test_embedding_lsh_recall_vs_exact(spark):
+    import duckdb
+
+    from docwire_spark.ops.dedup import COSINE_THRESHOLD, dedup_embedding
+
+    con = duckdb.connect()
+    rows = con.execute(
+        "SELECT vec_id, embedding::DOUBLE[] FROM "
+        f"parquet_scan('{SF_DIR}/embeddings.parquet') ORDER BY vec_id"
+    ).fetchall()
+    ids = [r[0] for r in rows]
+    V = np.array([r[1] for r in rows])
+    norm = np.sqrt((V * V).sum(axis=1))
+    C = (V @ V.T) / np.outer(norm, norm)
+    truth = {
+        (ids[i], ids[j])
+        for i in range(len(ids))
+        for j in range(i + 1, len(ids))
+        if round(C[i, j], 6) >= COSINE_THRESHOLD
+    }
+    got = _pairs(dedup_embedding(spark, SF_DIR), "vec_a", "vec_b")
+    assert got <= truth
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.90, f"embedding-LSH recall {recall:.4f} < 0.90"
+
+
+def test_ann_lsh_recall_at_5(spark):
+    from docwire_spark.ops.similarity import (
+        LSH_N_QUERIES, ann_lsh, topk_bruteforce,
+    )
+
+    exact5: dict[int, set] = {}
+    for r in topk_bruteforce(spark, SF_DIR).collect():
+        if r["rank"] <= 5:
+            exact5.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    ann: dict[int, set] = {}
+    for r in ann_lsh(spark, SF_DIR).collect():
+        ann.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    qids = [q for q in exact5 if q < LSH_N_QUERIES]
+    assert qids
+    recall = sum(len(ann.get(q, set()) & exact5[q]) for q in qids) / sum(
+        len(exact5[q]) for q in qids
+    )
+    assert recall >= 0.85, f"ann recall@5 {recall:.4f} < 0.85"
+
+
+def test_no_crossjoin_in_scale_plans(spark):
+    """Plan-shape gate: no cartesian product in any scale-path dedup
+    query (the labeled ground-truth validator is the one exception)."""
+    from docwire_spark.ops.dedup import (
+        dedup_embedding, dedup_minhash_lsh, dedup_simhash_pairs,
+    )
+    from docwire_spark.ops.similarity import ann_lsh
+
+    for fn in (dedup_minhash_lsh, dedup_simhash_pairs, dedup_embedding,
+               ann_lsh):
+        plan = fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, fn.__name__
