@@ -75,10 +75,12 @@ def _wrap(fn: Callable) -> Callable:
 
 def _collect():
     from docwire_spark.ops import (
-        dedup, extraction, multimodal, relational, similarity, textstats,
+        dedup, extraction, extraction_binary, multimodal, relational,
+        similarity, textstats,
     )
 
-    modules = (extraction, textstats, dedup, similarity, multimodal, relational)
+    modules = (extraction, extraction_binary, textstats, dedup, similarity,
+               multimodal, relational)
     q: dict[str, Callable] = {}
     o: dict[str, str] = {}
     for m in modules:

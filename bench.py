@@ -32,6 +32,7 @@ HEADLINE = [
     "extract_table",
     "extract_main_content",
     "extract_format_dispatch",
+    "extract_binary_dispatch",
     # text analysis
     "text_token_stats",
     "text_quality",
