@@ -12,11 +12,24 @@ fonts the per-glyph bounding boxes are read from the font's ``glyf``
 table (PDFium unions per-char glyph boxes scaled by the text matrix);
 fonts without an embedded program fall back to ascent/descent metrics.
 
-Scope: what Common-Crawl-ish / office-exported PDFs need — classic
-xref (scan-all-objects, last definition wins), FlateDecode, page tree
-with inheritance, simple fonts (Type1/TrueType) with /Widths,
-WinAnsi + /Differences encodings, ToUnicode CMaps, and the text
-operators BT ET Td TD Tm T* TL Tf Tc Tw Tz Ts Tj TJ ' " q Q cm.
+Scope: what Common-Crawl-ish / office-exported PDFs need — the
+constructs PDFium gives the reference for free (src/pdf_parser.cpp:
+28-32):
+
+- classic xref tables AND PDF 1.5+ cross-reference streams, chained
+  via /Prev (incremental updates) and /XRefStm (hybrid files), with a
+  scan-all-objects fallback for damaged xrefs (last definition wins)
+- compressed object streams (/ObjStm)
+- stream filters: FlateDecode, LZWDecode (with EarlyChange),
+  ASCII85Decode, ASCIIHexDecode, RunLengthDecode; PNG + TIFF
+  predictors
+- page tree with attribute inheritance
+- simple fonts (Type1/TrueType, /Widths, WinAnsi + /Differences,
+  ToUnicode CMaps) and composite Type0/CID fonts with Identity-H
+  encoding, /W width arrays and CIDToGIDMap
+- Form XObjects (text inside /Do-invoked forms)
+- text operators BT ET Td TD Tm T* TL Tf Tc Tw Tz Ts Tj TJ ' " q Q cm
+
 Unsupported constructs raise :class:`PdfError`, which the extraction
 API surfaces as a per-row ``error`` value.
 """
@@ -205,6 +218,148 @@ def _parse_literal_string(buf: bytes, i: int):
             out.append(c)
             i += 1
     raise PdfError("unterminated string")
+
+
+# ---------------------------------------------------------------------------
+# stream filters
+# ---------------------------------------------------------------------------
+
+
+def _apply_predictor(data: bytes, predictor: int, colors: int, bpc: int,
+                     columns: int) -> bytes:
+    """PNG predictors 10-15 (per-row filter byte) and TIFF predictor 2."""
+    bpp = max(1, (colors * bpc + 7) // 8)
+    row_len = (columns * colors * bpc + 7) // 8
+    if predictor == 2:  # TIFF horizontal differencing (8-bit only)
+        if bpc != 8:
+            raise PdfError("TIFF predictor with bpc != 8 not supported")
+        out = bytearray(data)
+        for r in range(0, len(out), row_len):
+            for j in range(r + bpp, min(r + row_len, len(out))):
+                out[j] = (out[j] + out[j - bpp]) & 0xFF
+        return bytes(out)
+    if predictor < 10:
+        raise PdfError(f"unsupported predictor {predictor}")
+    out = bytearray()
+    prev = bytearray(row_len)
+    i = 0
+    n = len(data)
+    while i < n:
+        ft = data[i]
+        i += 1
+        row = bytearray(data[i:i + row_len])
+        i += len(row)
+        if ft == 1:  # Sub
+            for j in range(bpp, len(row)):
+                row[j] = (row[j] + row[j - bpp]) & 0xFF
+        elif ft == 2:  # Up
+            for j in range(len(row)):
+                row[j] = (row[j] + prev[j]) & 0xFF
+        elif ft == 3:  # Average
+            for j in range(len(row)):
+                left = row[j - bpp] if j >= bpp else 0
+                row[j] = (row[j] + ((left + prev[j]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for j in range(len(row)):
+                a = row[j - bpp] if j >= bpp else 0
+                b = prev[j]
+                c = prev[j - bpp] if j >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                row[j] = (row[j] + pred) & 0xFF
+        elif ft != 0:
+            raise PdfError(f"bad PNG filter type {ft}")
+        out += row
+        prev = row
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, early: int = 1) -> bytes:
+    """LZW as specified for PDF: 9..12-bit codes, clear=256, eod=257,
+    code width grows ``early`` codes before the table fills."""
+    out = bytearray()
+    table: dict[int, bytes] = {i: bytes([i]) for i in range(256)}
+    next_code = 258
+    code_len = 9
+    prev = None
+    bitbuf = 0
+    bits = 0
+    for byte in data:
+        bitbuf = (bitbuf << 8) | byte
+        bits += 8
+        while bits >= code_len:
+            bits -= code_len
+            code = (bitbuf >> bits) & ((1 << code_len) - 1)
+            if code == 256:
+                table = {i: bytes([i]) for i in range(256)}
+                next_code = 258
+                code_len = 9
+                prev = None
+                continue
+            if code == 257:
+                return bytes(out)
+            if prev is None:
+                entry = table.get(code)
+                if entry is None:
+                    raise PdfError("bad LZW start code")
+            else:
+                if code in table:
+                    entry = table[code]
+                elif code == next_code:
+                    entry = prev + prev[:1]
+                else:
+                    raise PdfError("bad LZW code")
+                table[next_code] = prev + entry[:1]
+                next_code += 1
+            out += entry
+            prev = entry
+            if next_code + early >= (1 << code_len) and code_len < 12:
+                code_len += 1
+    return bytes(out)
+
+
+def _ascii85_decode(data: bytes) -> bytes:
+    import base64
+
+    body = re.sub(rb"\s+", b"", data)
+    if body.startswith(b"<~"):
+        body = body[2:]
+    if body.endswith(b"~>"):
+        body = body[:-2]
+    try:
+        return base64.a85decode(body)
+    except ValueError as exc:
+        raise PdfError(f"bad ASCII85 stream: {exc}") from exc
+
+
+def _asciihex_decode(data: bytes) -> bytes:
+    body = re.sub(rb"\s+", b"", data)
+    if body.endswith(b">"):
+        body = body[:-1]
+    if len(body) % 2:
+        body += b"0"
+    try:
+        return bytes.fromhex(body.decode("ascii"))
+    except ValueError as exc:
+        raise PdfError(f"bad ASCIIHex stream: {exc}") from exc
+
+
+def _runlength_decode(data: bytes) -> bytes:
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        ln = data[i]
+        if ln == 128:
+            break
+        if ln < 128:
+            out += data[i + 1:i + 2 + ln]
+            i += 2 + ln
+        else:
+            out += data[i + 1:i + 2] * (257 - ln)
+            i += 2
+    return bytes(out)
 
 
 # ---------------------------------------------------------------------------
@@ -434,6 +589,13 @@ def _parse_tounicode(data: bytes) -> dict:
 class Font:
     def __init__(self, doc: "PdfDocument", d: dict):
         self.subtype = str(d.get("Subtype", ""))
+        self.is_cid = self.subtype == "Type0"
+        self.code_bytes = 1
+        self.cid_widths = None
+        self.default_width = 1000.0
+        self.cid_to_gid = None  # None = Identity
+        if self.is_cid:
+            d = self._init_type0(doc, d)
         self.first_char = int(doc.resolve(d.get("FirstChar", 0)) or 0)
         widths = doc.resolve(d.get("Widths"))
         self.widths = (
@@ -473,15 +635,72 @@ class Font:
             except PdfError:
                 self.metrics = None
 
+    def _init_type0(self, doc: "PdfDocument", d: dict) -> dict:
+        """Composite font: Identity-H/V code space (2-byte codes ==
+        CIDs), widths from the descendant CIDFont's /W + /DW, glyph
+        ids via /CIDToGIDMap.  Returns a surrogate dict exposing the
+        descendant's FontDescriptor and the Type0's ToUnicode to the
+        simple-font init path (reference: PDFium CPDF_CIDFont)."""
+        enc = doc.resolve(d.get("Encoding"))
+        enc_name = str(enc) if isinstance(enc, Name) else ""
+        if enc_name not in ("Identity-H", "Identity-V"):
+            # non-identity CMaps (e.g. UniJIS-UCS2-H) need external CMap
+            # tables; surface as a per-document error, not silent junk
+            raise PdfError(f"unsupported Type0 encoding {enc_name!r}")
+        self.code_bytes = 2
+        desc_fonts = doc.resolve(d.get("DescendantFonts")) or []
+        cid = doc.resolve(desc_fonts[0]) if desc_fonts else {}
+        cid = cid if isinstance(cid, dict) else {}
+        self.default_width = float(doc.resolve(cid.get("DW", 1000)) or 1000)
+        self.cid_widths = {}
+        w = doc.resolve(cid.get("W"))
+        if isinstance(w, list):
+            i = 0
+            while i < len(w):
+                c = doc.resolve(w[i])
+                nxt = doc.resolve(w[i + 1]) if i + 1 < len(w) else None
+                if isinstance(nxt, list):
+                    for k, wv in enumerate(nxt):
+                        self.cid_widths[int(c) + k] = float(doc.resolve(wv))
+                    i += 2
+                elif i + 2 < len(w):
+                    wv = float(doc.resolve(w[i + 2]))
+                    for cc in range(int(c), int(nxt) + 1):
+                        self.cid_widths[cc] = wv
+                    i += 3
+                else:
+                    break
+        c2g = doc.resolve(cid.get("CIDToGIDMap"))
+        if isinstance(c2g, dict) and c2g.get("__stream__") is not None:
+            self.cid_to_gid = c2g["__stream__"]  # 2 bytes per CID, BE
+        return {
+            "FontDescriptor": cid.get("FontDescriptor"),
+            "ToUnicode": d.get("ToUnicode"),
+        }
+
+    def iter_codes(self, raw: bytes):
+        if self.code_bytes == 2:
+            for k in range(0, len(raw) - 1, 2):
+                yield (raw[k] << 8) | raw[k + 1]
+        else:
+            yield from raw
+
     def unicode_for(self, code: int) -> str:
         if self.to_unicode is not None and code in self.to_unicode:
             return self.to_unicode[code]
+        if self.is_cid:
+            # Identity CID without ToUnicode: some generators use
+            # Unicode code points as CIDs; chr() recovers those and
+            # degrades to the replacement char otherwise
+            return chr(code) if 0x20 <= code <= 0x10FFFF else "�"
         if code in self.differences:
             name = self.differences[code]
             return _GLYPH_NAMES.get(name, "�")
         return _winansi(code)
 
     def width_for(self, code: int) -> float:
+        if self.is_cid:
+            return (self.cid_widths or {}).get(code, self.default_width)
         if self.widths is not None:
             idx = code - self.first_char
             if 0 <= idx < len(self.widths):
@@ -489,9 +708,25 @@ class Font:
         return self.missing_width
 
     def bbox_for(self, code: int):
-        if self.metrics is not None:
-            return self.metrics.bbox_for_code(code)
-        return None
+        if self.metrics is None:
+            return None
+        if self.is_cid:
+            if self.cid_to_gid is not None:
+                o = 2 * code
+                gid = (
+                    int.from_bytes(self.cid_to_gid[o:o + 2], "big")
+                    if o + 2 <= len(self.cid_to_gid) else 0
+                )
+            else:
+                gid = code
+            if gid >= len(self.metrics.bboxes):
+                return None
+            bb = self.metrics.bboxes[gid]
+            if bb is None:
+                return None
+            s = 1000.0 / self.metrics.upem
+            return (bb[0] * s, bb[1] * s, bb[2] * s, bb[3] * s)
+        return self.metrics.bbox_for_code(code)
 
 
 # minimal Adobe glyph list subset for /Differences in office exports
@@ -526,9 +761,199 @@ class PdfDocument:
         for m in _OBJ_RE.finditer(data):
             # incremental updates: the LAST definition wins
             self._offsets[int(m.group(1))] = m.end()
-        if not self._offsets:
-            raise PdfError("no indirect objects found")
         self._cache = {}
+        self._in_objstm = {}       # objnum -> (container stream objnum, idx)
+        self._objstm_cache = {}    # container objnum -> {objnum: obj}
+        self._objstm_indexed = False
+        self._trailer = {}
+        try:
+            self._load_xref_chain()
+        except PdfError:
+            # damaged/absent xref: the scan index above still serves
+            pass
+        if not self._offsets and not self._in_objstm:
+            raise PdfError("no indirect objects found")
+
+    # -- cross-reference chain --------------------------------------------
+    def _load_xref_chain(self):
+        """Walk startxref -> (classic table | xref stream) -> /Prev.
+
+        Newest-first: the first entry seen for an object number wins
+        (that IS the live version under incremental update).  Entries
+        are validated against the byte scan — a type-1 offset that does
+        not actually start ``N G obj`` for the right N is ignored, so a
+        damaged xref degrades to scan behavior instead of misparsing.
+        """
+        sx = self.data.rfind(b"startxref")
+        if sx < 0:
+            raise PdfError("no startxref")
+        m = _NUM_RE.search(self.data, sx + 9)
+        if not m:
+            raise PdfError("bad startxref")
+        seen_off = set()
+        seen_obj = set()
+        queue = [int(m.group())]
+        while queue:
+            off = queue.pop(0)
+            if off in seen_off or not (0 <= off < len(self.data)):
+                continue
+            seen_off.add(off)
+            i = _skip_ws(self.data, off)
+            if self.data[i:i + 4] == b"xref":
+                tr = self._load_classic_xref(i + 4, seen_obj)
+            else:
+                tr = self._load_xref_stream(i, seen_obj)
+            for key, val in tr.items():
+                self._trailer.setdefault(key, val)
+            for key in ("XRefStm", "Prev"):
+                nxt = tr.get(key)
+                if isinstance(nxt, (int, float)):
+                    queue.append(int(nxt))
+
+    def _register(self, num: int, entry, seen_obj: set):
+        if num in seen_obj:
+            return
+        seen_obj.add(num)
+        if isinstance(entry, int):  # type 1: byte offset of "N G obj"
+            mm = _OBJ_RE.match(self.data, entry) or _OBJ_RE.match(
+                self.data, _skip_ws(self.data, entry)
+            )
+            if mm and int(mm.group(1)) == num:
+                self._offsets[num] = mm.end()
+        else:  # type 2: (container objstm number, index)
+            self._in_objstm[num] = entry
+            self._offsets.pop(num, None)
+
+    def _load_classic_xref(self, i: int, seen_obj: set) -> dict:
+        n = len(self.data)
+        while True:
+            i = _skip_ws(self.data, i)
+            if self.data[i:i + 7] == b"trailer":
+                obj, _ = parse_object(self.data, i + 7)
+                return obj if isinstance(obj, dict) else {}
+            m = _NUM_RE.match(self.data, i)
+            if not m:
+                raise PdfError("bad xref subsection header")
+            first = int(m.group())
+            i = _skip_ws(self.data, m.end())
+            m = _NUM_RE.match(self.data, i)
+            if not m:
+                raise PdfError("bad xref subsection count")
+            count = int(m.group())
+            i = _skip_ws(self.data, m.end())
+            for k in range(count):
+                if i + 18 > n:
+                    raise PdfError("truncated xref table")
+                row = self.data[i:i + 20]
+                try:
+                    off = int(row[0:10])
+                except ValueError as exc:
+                    raise PdfError("bad xref row") from exc
+                kind = row[17:18]
+                if kind == b"n":
+                    self._register(first + k, off, seen_obj)
+                elif kind == b"f":
+                    seen_obj.add(first + k)
+                # rows are nominally 20 bytes but tolerate 19 (lone \n)
+                i += 20 if row[18:20] in (b"\r\n", b" \n", b" \r") else 19
+                i = _skip_ws(self.data, i) if k == count - 1 else i
+
+    def _load_xref_stream(self, i: int, seen_obj: set) -> dict:
+        mm = _OBJ_RE.match(self.data, i)
+        if not mm:
+            raise PdfError("xref offset points at neither table nor stream")
+        num = int(mm.group(1))
+        self._offsets.setdefault(num, mm.end())
+        d = self.get(num)
+        if not isinstance(d, dict) or str(d.get("Type", "")) != "XRef":
+            raise PdfError("not an XRef stream")
+        data = d.get("__stream__")
+        if data is None:
+            raise PdfError(d.get("__stream_error__", "undecodable XRef"))
+        w = [int(self.resolve(x)) for x in self.resolve(d.get("W")) or []]
+        if len(w) < 3:
+            raise PdfError("bad /W")
+        size = int(self.resolve(d.get("Size")) or 0)
+        index = self.resolve(d.get("Index")) or [0, size]
+        index = [int(self.resolve(x)) for x in index]
+        row_len = sum(w)
+        pos = 0
+
+        def field(row, j):
+            s = sum(w[:j])
+            return int.from_bytes(row[s:s + w[j]], "big") if w[j] else None
+
+        for k in range(0, len(index) - 1, 2):
+            first, count = index[k], index[k + 1]
+            for objnum in range(first, first + count):
+                row = data[pos:pos + row_len]
+                pos += row_len
+                if len(row) < row_len:
+                    return d
+                t = field(row, 0)
+                t = 1 if t is None else t  # omitted type defaults to 1
+                f2 = field(row, 1) or 0
+                f3 = field(row, 2) or 0
+                if t == 1:
+                    self._register(objnum, f2, seen_obj)
+                elif t == 2:
+                    self._register(objnum, (f2, f3), seen_obj)
+                else:
+                    seen_obj.add(objnum)
+        return d
+
+    # -- object streams ----------------------------------------------------
+    def _objstm_objects(self, stm_num: int) -> dict:
+        if stm_num in self._objstm_cache:
+            return self._objstm_cache[stm_num]
+        out = {}
+        self._objstm_cache[stm_num] = out  # placed first: cycle guard
+        container = self.get(stm_num)
+        if not isinstance(container, dict):
+            return out
+        data = container.get("__stream__")
+        if data is None:
+            return out
+        try:
+            n_objs = int(self.resolve(container.get("N")) or 0)
+            first = int(self.resolve(container.get("First")) or 0)
+            header = []
+            i = 0
+            for _ in range(2 * n_objs):
+                i = _skip_ws(data, i)
+                m = _NUM_RE.match(data, i)
+                if not m:
+                    break
+                header.append(int(m.group()))
+                i = m.end()
+            for k in range(0, len(header) - 1, 2):
+                objnum, rel = header[k], header[k + 1]
+                try:
+                    obj, _ = parse_object(data, first + rel)
+                except PdfError:
+                    continue
+                out[objnum] = obj
+        except (ValueError, TypeError):
+            pass
+        return out
+
+    def _ensure_objstm_index(self):
+        """Fallback discovery of compressed objects when the xref chain
+        is absent/damaged: find /Type /ObjStm containers by byte scan
+        and index their members."""
+        if self._objstm_indexed:
+            return
+        self._objstm_indexed = True
+        for m in re.finditer(rb"/Type\s*/ObjStm\b", self.data):
+            # enclosing object = nearest "N G obj" start before the hit
+            best = None
+            for num, off in self._offsets.items():
+                if off <= m.start() and (best is None or off > best[1]):
+                    best = (num, off)
+            if best is None:
+                continue
+            for objnum in self._objstm_objects(best[0]):
+                self._in_objstm.setdefault(objnum, (best[0], 0))
 
     # -- object access ----------------------------------------------------
     def get(self, num: int):
@@ -536,7 +961,15 @@ class PdfDocument:
             return self._cache[num]
         off = self._offsets.get(num)
         if off is None:
-            return None
+            loc = self._in_objstm.get(num)
+            if loc is None:
+                self._ensure_objstm_index()
+                loc = self._in_objstm.get(num)
+                if loc is None:
+                    return None
+            obj = self._objstm_objects(loc[0]).get(num)
+            self._cache[num] = obj
+            return obj
         obj, end = parse_object(self.data, off)
         if isinstance(obj, dict):
             j = _skip_ws(self.data, end)
@@ -587,23 +1020,48 @@ class PdfDocument:
             parms = [parms]
         for k, f in enumerate(filters):
             fname = str(self.resolve(f))
-            if fname == "FlateDecode":
+            p = self.resolve(parms[k]) if parms and k < len(parms) else None
+            p = p if isinstance(p, dict) else {}
+            if fname in ("FlateDecode", "Fl"):
                 try:
                     raw = zlib.decompress(raw)
                 except zlib.error as exc:
                     raise PdfError(f"bad flate stream: {exc}") from exc
-                p = self.resolve(parms[k]) if parms and k < len(parms) else None
-                if isinstance(p, dict) and int(
-                    self.resolve(p.get("Predictor", 1)) or 1
-                ) > 1:
-                    raise PdfError("stream predictors not supported")
+            elif fname in ("LZWDecode", "LZW"):
+                raw = _lzw_decode(
+                    raw, int(self.resolve(p.get("EarlyChange", 1)) or 1)
+                )
+            elif fname in ("ASCII85Decode", "A85"):
+                raw = _ascii85_decode(raw)
+            elif fname in ("ASCIIHexDecode", "AHx"):
+                raw = _asciihex_decode(raw)
+            elif fname in ("RunLengthDecode", "RL"):
+                raw = _runlength_decode(raw)
+            elif fname == "Crypt":
+                raise PdfError("encrypted streams not supported")
             else:
                 raise PdfError(f"unsupported stream filter {fname}")
+            pred = int(self.resolve(p.get("Predictor", 1)) or 1)
+            if pred > 1:
+                raw = _apply_predictor(
+                    raw, pred,
+                    int(self.resolve(p.get("Colors", 1)) or 1),
+                    int(self.resolve(p.get("BitsPerComponent", 8)) or 8),
+                    int(self.resolve(p.get("Columns", 1)) or 1),
+                )
         return raw
 
     # -- structure --------------------------------------------------------
     def catalog(self) -> dict:
-        for num in self._offsets:
+        root = self.resolve(self._trailer.get("Root"))
+        if isinstance(root, dict) and "Pages" in root:
+            return root
+        for num in list(self._offsets):
+            obj = self.get(num)
+            if isinstance(obj, dict) and str(obj.get("Type", "")) == "Catalog":
+                return obj
+        self._ensure_objstm_index()
+        for num in list(self._in_objstm):
             obj = self.get(num)
             if isinstance(obj, dict) and str(obj.get("Type", "")) == "Catalog":
                 return obj
@@ -636,20 +1094,25 @@ class PdfDocument:
 
     def metadata(self) -> dict:
         meta = {}
-        for num in self._offsets:
-            obj = self.get(num)
-            if isinstance(obj, dict) and (
-                "Producer" in obj or "Creator" in obj or "Author" in obj
-            ) and "Type" not in obj:
-                for src, dst in (
-                    ("Author", "author"),
-                    ("CreationDate", "creation_date"),
-                    ("ModDate", "last_modification_date"),
-                ):
-                    v = self.resolve(obj.get(src))
-                    if isinstance(v, bytes):
-                        meta[dst] = v.decode("latin-1", "replace")
-                break
+        info = self.resolve(self._trailer.get("Info"))
+        candidates = [info] if isinstance(info, dict) else []
+        if not candidates:
+            for num in self._offsets:
+                obj = self.get(num)
+                if isinstance(obj, dict) and (
+                    "Producer" in obj or "Creator" in obj or "Author" in obj
+                ) and "Type" not in obj:
+                    candidates.append(obj)
+                    break
+        for obj in candidates[:1]:
+            for src, dst in (
+                ("Author", "author"),
+                ("CreationDate", "creation_date"),
+                ("ModDate", "last_modification_date"),
+            ):
+                v = self.resolve(obj.get(src))
+                if isinstance(v, bytes):
+                    meta[dst] = v.decode("latin-1", "replace")
         try:
             meta["page_count"] = len(self.pages())
         except PdfError:
@@ -687,10 +1150,7 @@ class PdfPage:
             return c.get("__stream__") or b""
         return b""
 
-    def _fonts(self) -> dict:
-        res = self.doc.resolve(
-            self.node.get("Resources", self.inherited.get("Resources"))
-        )
+    def _fonts_from(self, res) -> dict:
         fonts = {}
         if isinstance(res, dict):
             fd = self.doc.resolve(res.get("Font"))
@@ -703,11 +1163,19 @@ class PdfPage:
 
     def text_elements(self):
         """Elements (text, x, y, w, h, font_size), one per show op."""
-        fonts = self._fonts()
-        buf = self._content()
+        res = self.doc.resolve(
+            self.node.get("Resources", self.inherited.get("Resources"))
+        )
         elements = []
+        self._exec(self._content(), res, _ID, elements, 0)
+        return elements
 
-        ctm = _ID
+    def _exec(self, buf, res, base_ctm, elements, depth):
+        """Run one content stream; recurses into Form XObjects on Do
+        (text inside forms — ubiquitous in modern generators)."""
+        fonts = self._fonts_from(res)
+
+        ctm = base_ctm
         stack = []
         font = None
         fs = 0.0
@@ -744,7 +1212,7 @@ class PdfPage:
                         text_parts.append(" ")
                     pen -= item / 1000.0 * fs * th
                     continue
-                for code in item:
+                for code in font.iter_codes(item):
                     text_parts.append(font.unicode_for(code))
                     bb = font.bbox_for(code)
                     if bb is not None:
@@ -762,7 +1230,9 @@ class PdfPage:
                             x1 = max(x1, dx)
                             y1 = max(y1, dy)
                     adv = font.width_for(code) / 1000.0 * fs + tc
-                    if code == 0x20:
+                    # word spacing applies to single-byte code 32 only
+                    # (PDF 32000-1 §9.3.3); never to 2-byte CID codes
+                    if code == 0x20 and font.code_bytes == 1:
                         adv += tw
                     pen += adv * th
             text = "".join(text_parts)
@@ -860,6 +1330,31 @@ class PdfPage:
                     tm = tlm
                     if isinstance(operands[-1], bytes):
                         show([operands[-1]])
+                elif op == "Do" and operands and depth < 8:
+                    xobjs = self.doc.resolve(
+                        (res or {}).get("XObject")
+                    ) if isinstance(res, dict) else None
+                    xd = (
+                        self.doc.resolve(xobjs.get(str(operands[-1])))
+                        if isinstance(xobjs, dict) else None
+                    )
+                    if (
+                        isinstance(xd, dict)
+                        and str(xd.get("Subtype", "")) == "Form"
+                        and xd.get("__stream__") is not None
+                    ):
+                        mtx = self.doc.resolve(xd.get("Matrix"))
+                        form_ctm = ctm
+                        if isinstance(mtx, list) and len(mtx) == 6:
+                            form_ctm = _mmul(
+                                tuple(float(v) for v in mtx), ctm
+                            )
+                        inner_res = self.doc.resolve(xd.get("Resources"))
+                        self._exec(
+                            xd["__stream__"],
+                            inner_res if isinstance(inner_res, dict) else res,
+                            form_ctm, elements, depth + 1,
+                        )
                 # all path/color/image operators: ignored
             except (TypeError, ValueError, KeyError):
                 pass
