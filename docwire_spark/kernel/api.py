@@ -231,6 +231,12 @@ def _parse_by_mime(data: bytes, mime: str):
         return xml_to_events(data), {}
     if mime in TXT_MIMES:
         return txt_to_events(data), {}
+    if mime.startswith("image/"):
+        # reference routes image/* to ocr_parser (src/ocr_parser.cpp);
+        # the hook degrades to a per-row error when no engine exists
+        from docwire_spark.kernel.ocr import ocr_to_events
+
+        return ocr_to_events(data)
     raise ValueError(f"unsupported mime type: {mime}")
 
 

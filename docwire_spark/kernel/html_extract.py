@@ -101,6 +101,36 @@ class _Ctx:
         self.meta = {}
 
 
+def decode_data_url(src):
+    """Decode a base64 ``data:`` URL into (mime, bytes), or None.
+
+    Reference semantics (src/html_parser.cpp:354-377
+    ``create_image_source``): require a comma, require ';base64' in
+    the pre-comma metadata, reject empty payloads; the mime is the
+    metadata up to the first ';' with an octet-stream default.  The
+    reference throws on malformed URLs and the caller degrades to the
+    alt text — returning None models the same recovery."""
+    if not src or not src.startswith("data:"):
+        return None
+    comma = src.find(",")
+    if comma < 0:
+        return None
+    meta = src[5:comma]
+    if ";base64" not in meta:
+        return None
+    import base64
+
+    try:
+        data = base64.b64decode(src[comma + 1:])
+    except (ValueError, TypeError):
+        return None
+    if not data:
+        return None
+    semi = meta.find(";")
+    mime = meta[:semi] if semi > 0 else "application/octet-stream"
+    return (mime or "application/octet-stream", data)
+
+
 def _emit(ctx, kind, payload=None):
     ctx.events.append((kind, payload))
 
@@ -222,10 +252,16 @@ def _process_tag(ctx, node, closing):
             url = ""
         _emit(ctx, E.LINK, (url, _styling(node)))
     elif name == "img":
+        src = node.attrs.get("src")
+        ocr_text = None
+        decoded = decode_data_url(src)
+        if decoded is not None:
+            from docwire_spark.kernel.ocr import ocr_image
+
+            ocr_text = ocr_image(decoded[1])
         _emit(
             ctx, E.IMAGE,
-            (node.attrs.get("alt"), None, node.attrs.get("src"),
-             _styling(node)),
+            (node.attrs.get("alt"), ocr_text, src, _styling(node)),
         )
     elif name == "table":
         _emit(ctx, E.TABLE, _styling(node))

@@ -172,6 +172,15 @@ def detect_mime(data_prefix: bytes, url: str = "") -> tuple:
         if not sig_hit and data_prefix[257:262] == b"ustar":
             add("application/x-tar", VERY_HIGH)
             sig_hit = True
+        # WEBP: "RIFF" + 4 size bytes + "WEBP" (content_type_image.cpp:
+        # 42-48 — not a plain prefix, so outside the _MAGIC table)
+        if (
+            not sig_hit
+            and data_prefix[:4] == b"RIFF"
+            and data_prefix[8:12] == b"WEBP"
+        ):
+            add("image/webp", VERY_HIGH)
+            sig_hit = True
         if not sig_hit:
             head = data_prefix[:1024]
             hl = head.lstrip(b"\xef\xbb\xbf \t\r\n").lower()
