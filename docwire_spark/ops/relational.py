@@ -78,6 +78,51 @@ GROUP BY source
 """
 
 
+def source_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-grouped aggregation END-TO-END through the salting plan
+    (extract.salted_host_key): hot sources are split into salt
+    sub-keys (deterministic xxhash64(url) % k), a first-stage
+    aggregate runs per (source, salt), and a second stage merges the
+    sub-aggregates per source.  The final result is salt-INVARIANT,
+    so the DuckDB oracle is the plain per-source aggregate — the gate
+    verifies the salted two-stage plan loses/duplicates nothing.  At
+    cluster scale stage 1 bounds any single task's group size; see
+    tools/bench_salting.py for the measured skew win."""
+    from docwire_spark.spark.extract import salted_host_key
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars",
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit("/d/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+    )
+    salted = salted_host_key(
+        docs, host_col="source", skew_threshold=SKEW_THRESHOLD,
+        salt_buckets=SALT_BUCKETS,
+    )
+    stage1 = salted.groupBy("source", "salted_host").agg(
+        F.count("*").alias("n"),
+        F.sum("n_chars").alias("chars"),
+        F.min("doc_id").alias("min_doc"),
+    )
+    return stage1.groupBy("source").agg(
+        F.sum("n").alias("n_docs"),
+        F.sum("chars").alias("total_chars"),
+        F.min("min_doc").alias("min_doc_id"),
+    )
+
+
+SOURCE_SALTED_AGG_SQL = """
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       min(doc_id) AS min_doc_id
+FROM documents
+GROUP BY source
+"""
+
+
 def orders_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders")
     customer = load(spark, sf_dir, "customer")
@@ -140,6 +185,7 @@ GROUP BY l_returnflag, l_linestatus
 QUERIES = {
     "events_by_type": events_by_type,
     "source_skew_salt": source_skew_salt,
+    "source_salted_agg": source_salted_agg,
     "orders_by_nation": orders_by_nation,
     "pricing_summary": pricing_summary,
 }
@@ -147,6 +193,7 @@ QUERIES = {
 ORACLES = {
     "events_by_type": EVENTS_BY_TYPE_SQL,
     "source_skew_salt": SOURCE_SKEW_SQL,
+    "source_salted_agg": SOURCE_SALTED_AGG_SQL,
     "orders_by_nation": ORDERS_BY_NATION_SQL,
     "pricing_summary": PRICING_SUMMARY_SQL,
 }
