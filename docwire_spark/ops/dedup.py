@@ -239,14 +239,19 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.expr(_FIRST_BAND) == F.col("a.band"))
         .select(F.col("a.gid").alias("ga"), F.col("b.gid").alias("gb"))
     )
+    # the rep tables are compact after collapse -> broadcast to the
+    # candidate stream (no shuffle of the multi-million-pair side); at
+    # 10^12-doc scale replace with a join bucketed on gid
     sh_tbl = reps.select("gid", "sh")
     verified = (
         cand.join(
-            sh_tbl.select(F.col("gid").alias("ga"), F.col("sh").alias("sha")),
+            F.broadcast(sh_tbl.select(F.col("gid").alias("ga"),
+                                      F.col("sh").alias("sha"))),
             "ga",
         )
         .join(
-            sh_tbl.select(F.col("gid").alias("gb"), F.col("sh").alias("shb")),
+            F.broadcast(sh_tbl.select(F.col("gid").alias("gb"),
+                                      F.col("sh").alias("shb"))),
             "gb",
         )
         .withColumn("n_inter", F.size(F.array_intersect("sha", "shb")))
@@ -264,11 +269,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     mem = groups.select("gid", "members")
     cross = (
         verified.join(
-            mem.select(F.col("gid").alias("ga"), F.col("members").alias("ma")),
+            F.broadcast(mem.select(F.col("gid").alias("ga"),
+                                   F.col("members").alias("ma"))),
             "ga",
         )
         .join(
-            mem.select(F.col("gid").alias("gb"), F.col("members").alias("mb")),
+            F.broadcast(mem.select(F.col("gid").alias("gb"),
+                                   F.col("members").alias("mb"))),
             "gb",
         )
         .select(F.explode("ma").alias("a"), "mb", "jaccard")
@@ -538,11 +545,13 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     mem = groups.select("gid", "members")
     cross = (
         rep_pairs.join(
-            mem.select(F.col("gid").alias("ga"), F.col("members").alias("ma")),
+            F.broadcast(mem.select(F.col("gid").alias("ga"),
+                                   F.col("members").alias("ma"))),
             "ga",
         )
         .join(
-            mem.select(F.col("gid").alias("gb"), F.col("members").alias("mb")),
+            F.broadcast(mem.select(F.col("gid").alias("gb"),
+                                   F.col("members").alias("mb"))),
             "gb",
         )
         .select(F.explode("ma").alias("a"), "mb", "hamming")
@@ -695,15 +704,21 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     vn = banded.withColumn(
         "norm", F.expr("sqrt(aggregate(v, 0D, (acc, x) -> acc + x * x))")
     ).select("vec_id", "v", "norm")
+    # broadcast the compact vector table onto the candidate stream
+    # (sort-merge here shuffles every candidate row WITH both 64-double
+    # payloads — measured 3x the whole query's cost at sf0.1); at
+    # cluster scale replace with a join bucketed on vec_id
     return (
         cand.join(
-            vn.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("qv"),
-                      F.col("norm").alias("qnorm")),
+            F.broadcast(vn.select(F.col("vec_id").alias("vec_a"),
+                                  F.col("v").alias("qv"),
+                                  F.col("norm").alias("qnorm"))),
             "vec_a",
         )
         .join(
-            vn.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("nv"),
-                      F.col("norm").alias("nnorm")),
+            F.broadcast(vn.select(F.col("vec_id").alias("vec_b"),
+                                  F.col("v").alias("nv"),
+                                  F.col("norm").alias("nnorm"))),
             "vec_b",
         )
         .withColumn("cos_sim", F.expr(_COS))

@@ -140,13 +140,15 @@ def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vec_id", "v", "norm")
     scored = (
         cand.join(
-            vn.select(F.col("vec_id").alias("query_id"),
-                      F.col("v").alias("qv"), F.col("norm").alias("qnorm")),
+            F.broadcast(vn.select(F.col("vec_id").alias("query_id"),
+                                  F.col("v").alias("qv"),
+                                  F.col("norm").alias("qnorm"))),
             "query_id",
         )
         .join(
-            vn.select(F.col("vec_id").alias("neighbor_id"),
-                      F.col("v").alias("nv"), F.col("norm").alias("nnorm")),
+            F.broadcast(vn.select(F.col("vec_id").alias("neighbor_id"),
+                                  F.col("v").alias("nv"),
+                                  F.col("norm").alias("nnorm"))),
             "neighbor_id",
         )
         .withColumn("cos_sim", F.expr(_COS))
