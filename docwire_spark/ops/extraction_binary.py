@@ -133,12 +133,113 @@ def make_pdf(text: str) -> bytes:
     return bytes(out)
 
 
+XLSX_MIME = (
+    "application/vnd.openxmlformats-officedocument.spreadsheetml.sheet"
+)
+PPTX_MIME = (
+    "application/vnd.openxmlformats-officedocument"
+    ".presentationml.presentation"
+)
+ODT_MIME = "application/vnd.oasis.opendocument.text"
+
+_SSML = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+_CT_NS = "http://schemas.openxmlformats.org/package/2006/content-types"
+_REL_NS = "http://schemas.openxmlformats.org/package/2006/relationships"
+
+
+def make_xlsx(text: str) -> bytes:
+    """One sheet, A1 = shared string (the doc text), B1 = numeric 7 —
+    exercises sharedStrings indirection + the table-grid render."""
+    ct = (
+        f'<?xml version="1.0"?><Types xmlns="{_CT_NS}">'
+        '<Default Extension="xml" ContentType="application/xml"/>'
+        '<Override PartName="/xl/workbook.xml" ContentType="'
+        + XLSX_MIME + '.main+xml"/></Types>'
+    )
+    wb = (
+        f'<?xml version="1.0"?><workbook xmlns="{_SSML}" xmlns:r='
+        '"http://schemas.openxmlformats.org/officeDocument/2006/'
+        'relationships"><sheets>'
+        '<sheet name="S1" sheetId="1" r:id="rId1"/></sheets></workbook>'
+    )
+    rels = (
+        f'<?xml version="1.0"?><Relationships xmlns="{_REL_NS}">'
+        '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/'
+        'officeDocument/2006/relationships/worksheet"'
+        ' Target="worksheets/sheet1.xml"/>'
+        '<Relationship Id="rId2" Type="http://schemas.openxmlformats.org/'
+        'officeDocument/2006/relationships/sharedStrings"'
+        ' Target="sharedStrings.xml"/></Relationships>'
+    )
+    sst = (
+        f'<?xml version="1.0"?><sst xmlns="{_SSML}" count="1"'
+        f' uniqueCount="1"><si><t>{text}</t></si></sst>'
+    )
+    sheet = (
+        f'<?xml version="1.0"?><worksheet xmlns="{_SSML}"><sheetData>'
+        '<row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1"><v>7</v></c>'
+        "</row></sheetData></worksheet>"
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_STORED) as z:
+        z.writestr(zipfile.ZipInfo("[Content_Types].xml", _ZIP_TS), ct)
+        z.writestr(zipfile.ZipInfo("xl/workbook.xml", _ZIP_TS), wb)
+        z.writestr(zipfile.ZipInfo("xl/_rels/workbook.xml.rels", _ZIP_TS),
+                   rels)
+        z.writestr(zipfile.ZipInfo("xl/sharedStrings.xml", _ZIP_TS), sst)
+        z.writestr(zipfile.ZipInfo("xl/worksheets/sheet1.xml", _ZIP_TS),
+                   sheet)
+    return buf.getvalue()
+
+
+def make_pptx(text: str) -> bytes:
+    ct = (
+        f'<?xml version="1.0"?><Types xmlns="{_CT_NS}">'
+        '<Default Extension="xml" ContentType="application/xml"/>'
+        '<Override PartName="/ppt/presentation.xml" ContentType="'
+        + PPTX_MIME + '.main+xml"/></Types>'
+    )
+    slide = (
+        '<?xml version="1.0"?><p:sld'
+        ' xmlns:a="http://schemas.openxmlformats.org/drawingml/2006/main"'
+        ' xmlns:p="http://schemas.openxmlformats.org/presentationml/2006/'
+        'main"><p:cSld><p:spTree><p:sp><p:txBody><a:p><a:r>'
+        f"<a:t>{text}</a:t></a:r></a:p></p:txBody></p:sp>"
+        "</p:spTree></p:cSld></p:sld>"
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_STORED) as z:
+        z.writestr(zipfile.ZipInfo("[Content_Types].xml", _ZIP_TS), ct)
+        z.writestr(zipfile.ZipInfo("ppt/presentation.xml", _ZIP_TS),
+                   "<p:presentation/>")
+        z.writestr(zipfile.ZipInfo("ppt/slides/slide1.xml", _ZIP_TS), slide)
+    return buf.getvalue()
+
+
+def make_odt(text: str) -> bytes:
+    content = (
+        '<?xml version="1.0"?><office:document-content'
+        ' xmlns:office="urn:oasis:names:tc:opendocument:xmlns:office:1.0"'
+        ' xmlns:text="urn:oasis:names:tc:opendocument:xmlns:text:1.0">'
+        f"<office:body><office:text><text:p>{text}</text:p>"
+        "</office:text></office:body></office:document-content>"
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_STORED) as z:
+        z.writestr(zipfile.ZipInfo("mimetype", _ZIP_TS), ODT_MIME)
+        z.writestr(zipfile.ZipInfo("content.xml", _ZIP_TS), content)
+    return buf.getvalue()
+
+
 _BUILDERS = {
     "pdf": lambda did, text: make_pdf(text),
     "docx": lambda did, text: make_docx(text),
     "rtf": lambda did, text: make_rtf(text),
     "eml": make_eml,
     "zip": lambda did, text: make_zip(text),
+    "xlsx": lambda did, text: make_xlsx(text),
+    "pptx": lambda did, text: make_pptx(text),
+    "odt": lambda did, text: make_odt(text),
 }
 
 _PAGES_SCHEMA = StructType(
@@ -233,6 +334,43 @@ EXTRACT_EML_SQL = _roundtrip_sql("message/rfc822", "chr(10)")
 EXTRACT_ZIP_SQL = _roundtrip_sql("application/zip", "chr(10) || chr(10)")
 
 
+def extract_xlsx_roundtrip(spark, sf_dir):
+    """XLSX parser through the distributed path (ZIP -> workbook rels
+    -> sharedStrings indirection -> sheet cells -> table-grid render —
+    kernel/xlsx_extract.py; reference src/odf_ooxml_parser.cpp
+    spreadsheet branch)."""
+    return _roundtrip(spark, sf_dir, "xlsx")
+
+
+def extract_pptx_roundtrip(spark, sf_dir):
+    """PPTX parser through the distributed path (slide spTree text
+    runs — kernel/docx_extract.py pptx branch)."""
+    return _roundtrip(spark, sf_dir, "pptx")
+
+
+def extract_odt_roundtrip(spark, sf_dir):
+    """ODF parser through the distributed path (mimetype member sniff
+    -> content.xml paragraphs — kernel/odf_extract.py; reference
+    src/odf_ooxml_parser.cpp + odfxml)."""
+    return _roundtrip(spark, sf_dir, "odt")
+
+
+# xlsx renders the 2-cell grid: global col width w = max(len(text),
+# len('7')) = len(text); A1 right-padded to w plus the 2-space gutter,
+# B1 ('7') right-padded to w (plain_text_writer grid rules, verified
+# against the extract_table golden path)
+EXTRACT_XLSX_SQL = f"""
+SELECT doc_id, '{XLSX_MIME}' AS mime,
+       rpad(text, CAST(length(text) + 2 AS INT), ' ')
+         || rpad('7', CAST(length(text) AS INT), ' ')
+         || chr(10) || chr(10) AS extracted_text,
+       CAST(NULL AS VARCHAR) AS error
+FROM documents
+"""
+EXTRACT_PPTX_SQL = _roundtrip_sql(PPTX_MIME, "chr(10) || chr(10)")
+EXTRACT_ODT_SQL = _roundtrip_sql(ODT_MIME, "chr(10) || chr(10)")
+
+
 def extract_binary_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mixed binary corpus through the ONE pipeline: each row is
     synthesized as pdf/docx/rtf/eml/zip by doc_id residue; the
@@ -290,6 +428,9 @@ QUERIES = {
     "extract_rtf_roundtrip": extract_rtf_roundtrip,
     "extract_eml_roundtrip": extract_eml_roundtrip,
     "extract_archive_roundtrip": extract_archive_roundtrip,
+    "extract_xlsx_roundtrip": extract_xlsx_roundtrip,
+    "extract_pptx_roundtrip": extract_pptx_roundtrip,
+    "extract_odt_roundtrip": extract_odt_roundtrip,
     "extract_binary_dispatch": extract_binary_dispatch,
 }
 
@@ -299,5 +440,8 @@ ORACLES = {
     "extract_rtf_roundtrip": EXTRACT_RTF_SQL,
     "extract_eml_roundtrip": EXTRACT_EML_SQL,
     "extract_archive_roundtrip": EXTRACT_ZIP_SQL,
+    "extract_xlsx_roundtrip": EXTRACT_XLSX_SQL,
+    "extract_pptx_roundtrip": EXTRACT_PPTX_SQL,
+    "extract_odt_roundtrip": EXTRACT_ODT_SQL,
     "extract_binary_dispatch": EXTRACT_BINARY_DISPATCH_SQL,
 }

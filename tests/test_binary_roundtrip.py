@@ -32,6 +32,10 @@ pytestmark = pytest.mark.skipif(
         ("rtf", "application/rtf", "\n\n"),
         ("eml", "message/rfc822", "\n"),
         ("zip", "application/zip", "\n\n"),
+        ("pptx",
+         "application/vnd.openxmlformats-officedocument"
+         ".presentationml.presentation", "\n\n"),
+        ("odt", "application/vnd.oasis.opendocument.text", "\n\n"),
     ],
 )
 def test_roundtrip_byte_identity(spark, fmt, mime, tail):
@@ -50,6 +54,24 @@ def test_roundtrip_byte_identity(spark, fmt, mime, tail):
         assert r["error"] is None, (fmt, r["doc_id"], r["error"])
         assert r["mime"] == mime, (fmt, r["doc_id"], r["mime"])
         assert r["extracted_text"] == expected[r["doc_id"]], (fmt, r["doc_id"])
+
+
+def test_xlsx_roundtrip_grid_render(spark):
+    from docwire_spark.ops.common import load
+    from docwire_spark.ops.extraction_binary import _roundtrip
+
+    expected = {
+        r["doc_id"]: (
+            r["text"].ljust(len(r["text"]) + 2)
+            + "7".ljust(len(r["text"])) + "\n\n"
+        )
+        for r in load(spark, SF_DIR, "documents").select(
+            "doc_id", "text"
+        ).collect()
+    }
+    for r in _roundtrip(spark, SF_DIR, "xlsx").collect():
+        assert r["error"] is None
+        assert r["extracted_text"] == expected[r["doc_id"]]
 
 
 def test_binary_dispatch_no_failures(spark):
