@@ -8,6 +8,7 @@ gates on its supported mime types) collapsed into one function call.
 
 from __future__ import annotations
 
+import struct
 from dataclasses import dataclass, field
 
 from docwire_spark.kernel import events as E
@@ -121,7 +122,30 @@ def extract(
             return _extract_archive(
                 res, data, mime, url, want_main_content, exports, _depth
             )
-        events, meta = _parse_by_mime(data, mime)
+        if mime == "application/x-ole-storage":
+            # refine the generic OLE2 sniff to the concrete office
+            # mime by directory stream names (reference
+            # office_formats_parser registers the refined type at
+            # highest confidence); parse errors fall through to the
+            # normal error path below
+            try:
+                from docwire_spark.kernel.cfb import CfbFile
+
+                names = set(CfbFile(data).stream_names())
+                for stream, refined in (
+                    ("WordDocument", "application/msword"),
+                    ("Workbook", "application/vnd.ms-excel"),
+                    ("Book", "application/vnd.ms-excel"),
+                    ("PowerPoint Document",
+                     "application/vnd.ms-powerpoint"),
+                ):
+                    if stream in names:
+                        res.mime = refined
+                        res.mime_confidence = CONFIDENCE_NAMES[5]
+                        break
+            except (ValueError, struct.error):
+                pass
+        events, meta = _parse_by_mime(data, res.mime)
         return _finish(res, events, meta, want_main_content, exports)
     except Exception as exc:  # per-row error capture (no continuation::stop)
         res.error = f"{type(exc).__name__}: {exc}"

@@ -231,6 +231,146 @@ def make_odt(text: str) -> bytes:
     return buf.getvalue()
 
 
+def _cfb_build(streams: dict) -> bytes:
+    """Minimal deterministic OLE2/CFB container writer (512-byte
+    sectors).  Streams are padded to >= 4096 bytes so everything lives
+    in the regular FAT (no mini-stream) — BIFF stops at EOF records
+    and the DOC FIB carries explicit lengths, so zero padding is
+    invisible to the parsers.  Layout: header | FAT | directory |
+    stream sectors."""
+    import struct
+
+    SEC = 512
+    FREE, END, FATSECT = 0xFFFFFFFF, 0xFFFFFFFE, 0xFFFFFFFD
+    items = []
+    for name, data in streams.items():
+        size = len(data)
+        if len(data) < 4096:
+            data = data + b"\x00" * (4096 - len(data))
+        items.append((name, data, size))
+    n_dir_entries = 1 + len(items)
+    n_dir_sectors = (n_dir_entries + 3) // 4
+    stream_sectors = [(len(d) + SEC - 1) // SEC for _, d, _ in items]
+    total_data = n_dir_sectors + sum(stream_sectors)
+    n_fat = 1
+    while n_fat * 128 < n_fat + total_data:
+        n_fat += 1
+    dir_start = n_fat
+    starts, cur = [], dir_start + n_dir_sectors
+    for ns in stream_sectors:
+        starts.append(cur)
+        cur += ns
+    fat = [FREE] * (n_fat * 128)
+    for s in range(n_fat):
+        fat[s] = FATSECT
+    for k in range(n_dir_sectors):
+        fat[dir_start + k] = (
+            dir_start + k + 1 if k < n_dir_sectors - 1 else END
+        )
+    for st, ns in zip(starts, stream_sectors):
+        for k in range(ns):
+            fat[st + k] = st + k + 1 if k < ns - 1 else END
+
+    def dirent(name, typ, start, size, child=FREE, right=FREE):
+        nm = name.encode("utf-16-le") + b"\x00\x00"
+        e = bytearray(128)
+        e[0:len(nm)] = nm
+        struct.pack_into("<H", e, 64, len(nm))
+        e[66], e[67] = typ, 1
+        struct.pack_into("<I", e, 68, FREE)   # left sibling
+        struct.pack_into("<I", e, 72, right)
+        struct.pack_into("<I", e, 76, child)
+        struct.pack_into("<I", e, 116, start)
+        struct.pack_into("<Q", e, 120, size)
+        return bytes(e)
+
+    ents = [dirent("Root Entry", 5, END, 0, child=1)]
+    for i, (name, d, size) in enumerate(items):
+        right = i + 2 if i + 1 < len(items) else FREE
+        ents.append(dirent(name, 2, starts[i], size if size >= 4096
+                           else len(d), right=right))
+    while len(ents) % 4:
+        ents.append(b"\x00" * 128)
+
+    h = bytearray(512)
+    h[0:8] = b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"
+    struct.pack_into("<H", h, 24, 0x3E)
+    struct.pack_into("<H", h, 26, 3)
+    struct.pack_into("<H", h, 28, 0xFFFE)
+    struct.pack_into("<H", h, 30, 9)
+    struct.pack_into("<H", h, 32, 6)
+    struct.pack_into("<I", h, 44, n_fat)
+    struct.pack_into("<I", h, 48, dir_start)
+    struct.pack_into("<I", h, 56, 4096)
+    struct.pack_into("<I", h, 60, END)
+    struct.pack_into("<I", h, 68, END)
+    for k in range(109):
+        struct.pack_into("<I", h, 76 + 4 * k, k if k < n_fat else FREE)
+    out = bytearray(h)
+    for s in range(n_fat):
+        for v in fat[s * 128:(s + 1) * 128]:
+            out += struct.pack("<I", v)
+    for k in range(n_dir_sectors):
+        out += b"".join(ents[k * 4:(k + 1) * 4])
+    for _, d, _ in items:
+        out += d + b"\x00" * ((-len(d)) % SEC)
+    return bytes(out)
+
+
+def make_xls(text: str) -> bytes:
+    """BIFF8 worksheet substream: BOF + LABEL(A1 = text) + EOF inside
+    a Workbook stream."""
+    import struct
+
+    def rec(t, payload):
+        return struct.pack("<HH", t, len(payload)) + payload
+
+    wb = b"".join([
+        rec(0x0809, struct.pack("<HHHH", 0x0600, 0x0010, 0x0DBB, 0x07CC)),
+        rec(0x0204, struct.pack("<HHH", 0, 0, 0)
+            + struct.pack("<H", len(text)) + b"\x00"
+            + text.encode("latin-1")),
+        rec(0x000A, b""),
+    ])
+    return _cfb_build({"Workbook": wb})
+
+
+def make_doc(text: str) -> bytes:
+    """Word97 binary DOC: FIB (wIdent, ccpText, fcClx/lcbClx) in the
+    WordDocument stream, single-piece CLX in 0Table, cp1252 text with
+    a paragraph mark."""
+    import struct
+
+    doctext = text + "\r"
+    wd = bytearray(2048)
+    struct.pack_into("<H", wd, 0, 0xA5EC)
+    struct.pack_into("<H", wd, 2, 0x00C1)
+    struct.pack_into("<H", wd, 10, 0)          # fWhichTblStm=0 -> 0Table
+    struct.pack_into("<i", wd, 0x4C, len(doctext))
+    fc_text = 1024
+    raw = doctext.encode("cp1252")
+    wd[fc_text:fc_text + len(raw)] = raw
+    plc = (
+        struct.pack("<II", 0, len(doctext))
+        + struct.pack("<H", 0)
+        + struct.pack("<I", (fc_text * 2) | 0x40000000)  # compressed fc
+        + struct.pack("<H", 0)
+    )
+    clx = b"\x02" + struct.pack("<I", len(plc)) + plc
+    struct.pack_into("<II", wd, 0x01A2, 0, len(clx))
+    return _cfb_build({"WordDocument": bytes(wd), "0Table": clx})
+
+
+def make_ppt(text: str) -> bytes:
+    """Binary PowerPoint: one TextBytesAtom in the 'PowerPoint
+    Document' stream."""
+    import struct
+
+    payload = text.encode("latin-1")
+    stream = struct.pack("<HHI", 0, 0x0FA8, len(payload)) + payload
+    return _cfb_build({"PowerPoint Document": stream})
+
+
 _BUILDERS = {
     "pdf": lambda did, text: make_pdf(text),
     "docx": lambda did, text: make_docx(text),
@@ -240,6 +380,9 @@ _BUILDERS = {
     "xlsx": lambda did, text: make_xlsx(text),
     "pptx": lambda did, text: make_pptx(text),
     "odt": lambda did, text: make_odt(text),
+    "xls": lambda did, text: make_xls(text),
+    "doc": lambda did, text: make_doc(text),
+    "ppt": lambda did, text: make_ppt(text),
 }
 
 _PAGES_SCHEMA = StructType(
@@ -371,6 +514,40 @@ EXTRACT_PPTX_SQL = _roundtrip_sql(PPTX_MIME, "chr(10) || chr(10)")
 EXTRACT_ODT_SQL = _roundtrip_sql(ODT_MIME, "chr(10) || chr(10)")
 
 
+def extract_xls_roundtrip(spark, sf_dir):
+    """Binary XLS (BIFF8) through the distributed path: own CFB
+    container reader -> Workbook stream -> BOF/LABEL/EOF records —
+    kernel/cfb.py + kernel/xls_extract.py; reference src/
+    xls_parser.cpp.  The OLE sniff refines application/x-ole-storage
+    to the concrete office mime by directory stream names."""
+    return _roundtrip(spark, sf_dir, "xls")
+
+
+def extract_doc_roundtrip(spark, sf_dir):
+    """Binary Word97 DOC through the distributed path: CFB ->
+    WordDocument FIB -> CLX piece table in 0Table -> cp1252 pieces —
+    kernel/doc_extract.py; reference src/doc_parser.cpp (wv2)."""
+    return _roundtrip(spark, sf_dir, "doc")
+
+
+def extract_ppt_roundtrip(spark, sf_dir):
+    """Binary PowerPoint through the distributed path: CFB ->
+    'PowerPoint Document' record tree -> TextBytesAtom —
+    kernel/ppt_extract.py; reference src/ppt_parser.cpp."""
+    return _roundtrip(spark, sf_dir, "ppt")
+
+
+EXTRACT_XLS_SQL = _roundtrip_sql(
+    "application/vnd.ms-excel", "chr(10) || chr(10)"
+)
+EXTRACT_DOC_SQL = _roundtrip_sql(
+    "application/msword", "chr(10) || chr(10)"
+)
+EXTRACT_PPT_SQL = _roundtrip_sql(
+    "application/vnd.ms-powerpoint", "chr(10) || chr(10)"
+)
+
+
 def extract_binary_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mixed binary corpus through the ONE pipeline: each row is
     synthesized as pdf/docx/rtf/eml/zip by doc_id residue; the
@@ -431,6 +608,9 @@ QUERIES = {
     "extract_xlsx_roundtrip": extract_xlsx_roundtrip,
     "extract_pptx_roundtrip": extract_pptx_roundtrip,
     "extract_odt_roundtrip": extract_odt_roundtrip,
+    "extract_xls_roundtrip": extract_xls_roundtrip,
+    "extract_doc_roundtrip": extract_doc_roundtrip,
+    "extract_ppt_roundtrip": extract_ppt_roundtrip,
     "extract_binary_dispatch": extract_binary_dispatch,
 }
 
@@ -443,5 +623,8 @@ ORACLES = {
     "extract_xlsx_roundtrip": EXTRACT_XLSX_SQL,
     "extract_pptx_roundtrip": EXTRACT_PPTX_SQL,
     "extract_odt_roundtrip": EXTRACT_ODT_SQL,
+    "extract_xls_roundtrip": EXTRACT_XLS_SQL,
+    "extract_doc_roundtrip": EXTRACT_DOC_SQL,
+    "extract_ppt_roundtrip": EXTRACT_PPT_SQL,
     "extract_binary_dispatch": EXTRACT_BINARY_DISPATCH_SQL,
 }
