@@ -76,11 +76,11 @@ def _wrap(fn: Callable) -> Callable:
 def _collect():
     from docwire_spark.ops import (
         dedup, extraction, extraction_binary, multimodal, relational,
-        similarity, textstats,
+        similarity, stream_extract, textstats,
     )
 
-    modules = (extraction, extraction_binary, textstats, dedup, similarity,
-               multimodal, relational)
+    modules = (extraction, extraction_binary, stream_extract, textstats,
+               dedup, similarity, multimodal, relational)
     q: dict[str, Callable] = {}
     o: dict[str, str] = {}
     for m in modules:

@@ -123,6 +123,22 @@ _OOXML_MARKERS = [
 ]
 
 
+#: reverse map mime -> canonical extension (reference
+#: content_type_by_file_extension.cpp:1341-1348 ``to_extension``).
+#: Built from EXTENSION_MIME with the FIRST extension listed per mime
+#: winning (the table lists canonical forms first: html before htm,
+#: jpg before jpeg), mirroring the reference's curated reverse table.
+_MIME_EXTENSION: dict = {}
+for _ext, _mime in EXTENSION_MIME.items():
+    _MIME_EXTENSION.setdefault(_mime, _ext)
+
+
+def to_extension(mime: str):
+    """Canonical file extension for ``mime``, or None (the reference
+    returns std::nullopt for unknown types)."""
+    return _MIME_EXTENSION.get(mime)
+
+
 def _looks_binary(prefix: bytes) -> bool:
     if not prefix:
         return False

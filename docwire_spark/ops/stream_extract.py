@@ -1,0 +1,84 @@
+"""Structured Streaming extraction under the driver's oracle gate.
+
+``extract_stream_plain`` runs the REAL streaming path end-to-end:
+synthesized pages written to a parquet drop directory -> file-source
+``readStream`` -> the batch-identical extraction transformation
+(``streaming.extract_stream``) -> memory sink drained with
+``availableNow`` -> the sink table returned as the query result.  The
+DuckDB oracle is the same analytic reconstruction the batch
+``extract_plain`` query uses — proving the streaming mode is
+byte-identical to batch (the north-star property that downstream
+consumers cannot tell which mode produced a row).
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from docwire_spark.ops.common import load
+
+_SINK_IDS = itertools.count()
+
+
+def extract_stream_plain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from docwire_spark.streaming.extract_stream import extract_stream
+
+    docs = load(spark, sf_dir, "documents")
+    pages = docs.select(
+        F.concat(F.lit("https://synth.local/d/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("warc_ts"),
+        F.encode(
+            F.concat(
+                F.lit("<html><head><title>d</title></head><body><p>"),
+                F.col("text"),
+                F.lit("</p></body></html>"),
+            ),
+            "UTF-8",
+        ).alias("html"),
+        F.col("text"),
+        F.lit("en").alias("lang"),
+    )
+    drop_dir = tempfile.mkdtemp(prefix="stream_oracle_src_")
+    chk_dir = tempfile.mkdtemp(prefix="stream_oracle_chk_")
+    pages.write.mode("overwrite").parquet(drop_dir)
+
+    stream_pages = (
+        spark.readStream.schema(
+            "url string, warc_ts timestamp, html binary,"
+            " text string, lang string"
+        )
+        .format("parquet")
+        .load(drop_dir)
+    )
+    extracted = extract_stream(stream_pages, n_shards=16)
+    sink = f"stream_oracle_sink_{next(_SINK_IDS)}_{os.getpid()}"
+    q = (
+        extracted.writeStream.format("memory")
+        .queryName(sink)
+        .option("checkpointLocation", os.path.join(chk_dir, "chk"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink).select(
+        F.element_at(F.split("url", "/"), -1).cast("bigint").alias("doc_id"),
+        "mime",
+        "extracted_text",
+    )
+
+
+EXTRACT_STREAM_PLAIN_SQL = """
+SELECT doc_id, 'text/html' AS mime,
+       trim(regexp_replace(text, ' +', ' ', 'g')) || chr(10) || chr(10)
+         AS extracted_text
+FROM documents
+"""
+
+QUERIES = {"extract_stream_plain": extract_stream_plain}
+ORACLES = {"extract_stream_plain": EXTRACT_STREAM_PLAIN_SQL}
