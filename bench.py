@@ -52,6 +52,7 @@ HEADLINE = [
     # relational shell
     "events_by_type",
     "source_skew_salt",
+    "source_salted_agg",
     "orders_by_nation",
     "pricing_summary",
 ]
