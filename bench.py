@@ -76,8 +76,15 @@ def main():
     )
     qs = ENTRY.queries()
 
-    # warmup: JVM/codegen + python worker pool (tiny query, not timed)
+    # warmup (not timed): JVM/codegen via a relational query, then one
+    # full mapInPandas pass so the python worker pool (numpy/pandas
+    # imports on every core) is hot — worker spin-up is a per-job fixed
+    # cost that a 100 TB run amortizes to nothing, so steady-state is
+    # the honest throughput measure
     qs["events_by_type"](spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    qs["extract_plain"](spark, sf_dir).write.format("noop").mode(
         "overwrite"
     ).save()
 
