@@ -51,6 +51,9 @@ HEADLINE = [
     "multimodal_meta",
     # relational shell
     "events_by_type",
+    "events_user_sessions",
+    "orders_fulfillment",
+    "top_parts_by_flag",
     "source_skew_salt",
     "source_salted_agg",
     "orders_by_nation",

@@ -182,8 +182,170 @@ WHERE l_shipdate <= TIMESTAMP '1998-12-01 00:00:00'
 GROUP BY l_returnflag, l_linestatus
 """
 
+def events_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via window functions (lag + cumulative boundary
+    sum): events > 30 min apart start a new session per user; the
+    shuffle key is user_id and every window step is a single pass
+    within the partition — the canonical scale shape for event-stream
+    sessionization."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events").select("user_id", "ts", "value")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    sess = (
+        ev.withColumn(
+            "new_session",
+            F.when(gap.isNull() | (gap > 1800), 1).otherwise(0),
+        )
+        .withColumn(
+            "session_id",
+            F.sum("new_session").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    )
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.max("session_id").alias("n_sessions"),
+            F.max("n_events").alias("max_session_events"),
+            F.round(F.sum("sum_value"), 2).alias("total_value"),
+        )
+    )
+
+
+EVENTS_SESSIONS_SQL = """
+WITH g AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+s AS (
+  SELECT user_id, value,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM g
+),
+per AS (
+  SELECT user_id, session_id,
+         CAST(count(*) AS BIGINT) AS n_events,
+         round(sum(value), 2) AS sum_value
+  FROM s GROUP BY user_id, session_id
+)
+SELECT user_id, max(session_id) AS n_sessions,
+       max(n_events) AS max_session_events,
+       round(sum(sum_value), 2) AS total_value
+FROM per GROUP BY user_id
+"""
+
+
+def orders_fulfillment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi/anti-join pair: orders WITH lineitems (left_semi) vs
+    orders WITHOUT (left_anti), aggregated by status.  At scale both
+    are shuffle joins on the order key with the aggregate pushed
+    map-side; the anti join is the same operator the checkpointed
+    writer's resume path uses."""
+    orders = load(spark, sf_dir, "orders")
+    li_keys = load(spark, sf_dir, "lineitem").select("l_orderkey").distinct()
+    with_li = (
+        orders.join(li_keys, orders.o_orderkey == li_keys.l_orderkey,
+                    "left_semi")
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n_with_lineitems"))
+    )
+    without_li = (
+        orders.join(li_keys, orders.o_orderkey == li_keys.l_orderkey,
+                    "left_anti")
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n_without_lineitems"))
+    )
+    return (
+        with_li.join(without_li, "o_orderstatus", "full_outer")
+        .select(
+            "o_orderstatus",
+            F.coalesce("n_with_lineitems", F.lit(0)).alias(
+                "n_with_lineitems"
+            ),
+            F.coalesce("n_without_lineitems", F.lit(0)).alias(
+                "n_without_lineitems"
+            ),
+        )
+    )
+
+
+ORDERS_FULFILLMENT_SQL = """
+WITH w AS (
+  SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_with_lineitems
+  FROM orders WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem)
+  GROUP BY o_orderstatus
+),
+wo AS (
+  SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_without_lineitems
+  FROM orders WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem)
+  GROUP BY o_orderstatus
+)
+SELECT COALESCE(w.o_orderstatus, wo.o_orderstatus) AS o_orderstatus,
+       COALESCE(n_with_lineitems, 0) AS n_with_lineitems,
+       COALESCE(n_without_lineitems, 0) AS n_without_lineitems
+FROM w FULL OUTER JOIN wo ON w.o_orderstatus = wo.o_orderstatus
+"""
+
+
+def top_parts_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank window over a large-table aggregation: top-3 revenue parts
+    per return flag (dense grouping -> per-group rank; ties broken by
+    part key so both engines order identically)."""
+    from pyspark.sql import Window
+
+    li = load(spark, sf_dir, "lineitem")
+    rev = (
+        li.groupBy("l_returnflag", "l_partkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                2,
+            ).alias("revenue")
+        )
+    )
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.col("revenue").desc(), F.col("l_partkey")
+    )
+    return (
+        rev.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= 3)
+        .select("l_returnflag", "l_partkey", "revenue", "rnk")
+    )
+
+
+TOP_PARTS_SQL = """
+WITH rev AS (
+  SELECT l_returnflag, l_partkey,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+  FROM lineitem GROUP BY l_returnflag, l_partkey
+)
+SELECT l_returnflag, l_partkey, revenue,
+       CAST(row_number() OVER (PARTITION BY l_returnflag
+                               ORDER BY revenue DESC, l_partkey)
+            AS BIGINT) AS rnk
+FROM rev
+QUALIFY rnk <= 3
+"""
+
+
 QUERIES = {
     "events_by_type": events_by_type,
+    "events_user_sessions": events_user_sessions,
+    "orders_fulfillment": orders_fulfillment,
+    "top_parts_by_flag": top_parts_by_flag,
     "source_skew_salt": source_skew_salt,
     "source_salted_agg": source_salted_agg,
     "orders_by_nation": orders_by_nation,
@@ -192,6 +354,9 @@ QUERIES = {
 
 ORACLES = {
     "events_by_type": EVENTS_BY_TYPE_SQL,
+    "events_user_sessions": EVENTS_SESSIONS_SQL,
+    "orders_fulfillment": ORDERS_FULFILLMENT_SQL,
+    "top_parts_by_flag": TOP_PARTS_SQL,
     "source_skew_salt": SOURCE_SKEW_SQL,
     "source_salted_agg": SOURCE_SALTED_AGG_SQL,
     "orders_by_nation": ORDERS_BY_NATION_SQL,
