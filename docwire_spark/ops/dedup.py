@@ -660,10 +660,19 @@ def _emb_band_batches(iterator):
         )
 
 
+# NOTE on the verify expression: three alternatives were measured at
+# sf0.1 (1.5M candidate pairs x 64-dim): (a) this interpreted
+# zip_with/aggregate lambda — 9.4s; (b) a numpy mapInPandas dot kernel
+# — 23s (the Arrow round-trip of both vector payloads dominates);
+# (c) a flat 64-term GetArrayItem sum — 27s (the ~250-node expression
+# tree exceeds the codegen method budget and falls back to
+# interpreted eval, slower than the lambda).  The lambda form wins and
+# is also the form whose left-fold order the DuckDB oracle replicates.
 _COS = (
     "round(aggregate(zip_with(qv, nv, (x, y) -> x * y), 0D,"
     " (acc, x) -> acc + x) / (qnorm * nnorm), 6)"
 )
+NORM_CODEGEN = "sqrt(aggregate(v, 0D, (acc, x) -> acc + x * x))"
 
 
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -701,9 +710,9 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.vec_id").alias("vec_b"),
         )
     )
-    vn = banded.withColumn(
-        "norm", F.expr("sqrt(aggregate(v, 0D, (acc, x) -> acc + x * x))")
-    ).select("vec_id", "v", "norm")
+    vn = banded.withColumn("norm", F.expr(NORM_CODEGEN)).select(
+        "vec_id", "v", "norm"
+    )
     # broadcast the compact vector table onto the candidate stream
     # (sort-merge here shuffles every candidate row WITH both 64-double
     # payloads — measured 3x the whole query's cost at sf0.1); at

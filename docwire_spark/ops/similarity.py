@@ -30,8 +30,8 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from docwire_spark.ops.common import load
 from docwire_spark.ops.dedup import (
-    EMB_BAND_SIZE, EMB_DIM, EMB_N_BANDS, _EMB_SCHEMA, _emb_band_batches,
-    _emb_planes,
+    _COS, EMB_BAND_SIZE, EMB_DIM, EMB_N_BANDS, NORM_CODEGEN, _EMB_SCHEMA,
+    _emb_band_batches, _emb_planes,
 )
 
 DIM = EMB_DIM
@@ -45,16 +45,8 @@ def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         load(spark, sf_dir, "embeddings")
         .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
-        .withColumn(
-            "norm", F.expr("sqrt(aggregate(v, 0D, (acc, x) -> acc + x * x))")
-        )
+        .withColumn("norm", F.expr(NORM_CODEGEN))
     )
-
-
-_COS = (
-    "round(aggregate(zip_with(qv, nv, (x, y) -> x * y), 0D,"
-    " (acc, x) -> acc + x) / (qnorm * nnorm), 6)"
-)
 
 
 def topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -136,7 +128,7 @@ def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     vn = banded.withColumn(
-        "norm", F.expr("sqrt(aggregate(v, 0D, (acc, x) -> acc + x * x))")
+        "norm", F.expr(NORM_CODEGEN)
     ).select("vec_id", "v", "norm")
     scored = (
         cand.join(
