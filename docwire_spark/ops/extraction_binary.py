@@ -548,6 +548,47 @@ EXTRACT_PPT_SQL = _roundtrip_sql(
 )
 
 
+FODT_MIME = "application/vnd.oasis.opendocument.text-flat-xml"
+
+
+def extract_fodt_roundtrip(spark, sf_dir):
+    """Flat-ODF through the distributed path: the office:mimetype
+    sniff refinement (content_type_odf_flat.cpp:17-37) must route the
+    single-file XML to the ODF parser.  The payload is built entirely
+    in Catalyst (pure XML), no Python builder involved."""
+    docs = load(spark, sf_dir, "documents")
+    pages = docs.select(
+        F.concat(F.lit(_URL_PREFIX), F.col("doc_id").cast("string"),
+                 F.lit(".fodt")).alias("url"),
+        F.encode(
+            F.concat(
+                F.lit(
+                    '<?xml version="1.0" encoding="UTF-8"?>'
+                    '<office:document xmlns:office="urn:oasis:names:tc:'
+                    'opendocument:xmlns:office:1.0" xmlns:text="urn:oasis:'
+                    'names:tc:opendocument:xmlns:text:1.0"'
+                    ' office:mimetype="application/vnd.oasis.opendocument'
+                    '.text"><office:body><office:text><text:p>'
+                ),
+                F.col("text"),
+                F.lit("</text:p></office:text></office:body>"
+                      "</office:document>"),
+            ),
+            "UTF-8",
+        ).alias("html"),
+    )
+    res = extract_pages(pages, n_shards=16)
+    return res.select(
+        F.regexp_extract("url", r"/(\d+)\.", 1).cast("bigint").alias("doc_id"),
+        "mime",
+        "extracted_text",
+        "error",
+    )
+
+
+EXTRACT_FODT_SQL = _roundtrip_sql(FODT_MIME, "chr(10) || chr(10)")
+
+
 def extract_binary_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mixed binary corpus through the ONE pipeline: each row is
     synthesized as pdf/docx/rtf/eml/zip by doc_id residue; the
@@ -611,6 +652,7 @@ QUERIES = {
     "extract_xls_roundtrip": extract_xls_roundtrip,
     "extract_doc_roundtrip": extract_doc_roundtrip,
     "extract_ppt_roundtrip": extract_ppt_roundtrip,
+    "extract_fodt_roundtrip": extract_fodt_roundtrip,
     "extract_binary_dispatch": extract_binary_dispatch,
 }
 
@@ -626,5 +668,6 @@ ORACLES = {
     "extract_xls_roundtrip": EXTRACT_XLS_SQL,
     "extract_doc_roundtrip": EXTRACT_DOC_SQL,
     "extract_ppt_roundtrip": EXTRACT_PPT_SQL,
+    "extract_fodt_roundtrip": EXTRACT_FODT_SQL,
     "extract_binary_dispatch": EXTRACT_BINARY_DISPATCH_SQL,
 }
