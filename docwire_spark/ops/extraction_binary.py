@@ -371,6 +371,63 @@ def make_ppt(text: str) -> bytes:
     return _cfb_build({"PowerPoint Document": stream})
 
 
+XLSB_MIME = "application/vnd.ms-excel.sheet.binary.macroenabled.12"
+PAGES_MIME = "application/vnd.apple.pages"
+
+
+def make_xlsb(text: str) -> bytes:
+    """BIFF12 sheet: varint-framed BrtRowHdr + inline-string cell
+    (no sharedStrings indirection needed for inline strings)."""
+    import struct
+
+    def rec(t, payload):
+        size = len(payload)
+        sv = b""
+        while True:
+            b = size & 0x7F
+            size >>= 7
+            sv += bytes([b | (0x80 if size else 0)])
+            if not size:
+                break
+        return bytes([t]) + sv + payload
+
+    sheet = rec(0x00, struct.pack("<I", 0) + b"\x00" * 20) + rec(
+        0x06,
+        struct.pack("<I", 0) + b"\x00" * 4
+        + struct.pack("<I", len(text)) + text.encode("utf-16-le"),
+    )
+    ct = (
+        f'<?xml version="1.0"?><Types xmlns="{_CT_NS}">'
+        '<Default Extension="bin" ContentType='
+        '"application/vnd.ms-excel.sheet.binary.macroEnabled.main"/>'
+        "</Types>"
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_STORED) as z:
+        z.writestr(zipfile.ZipInfo("[Content_Types].xml", _ZIP_TS), ct)
+        z.writestr(zipfile.ZipInfo("xl/workbook.bin", _ZIP_TS), b"")
+        z.writestr(zipfile.ZipInfo("xl/worksheets/sheet1.bin", _ZIP_TS),
+                   sheet)
+    return buf.getvalue()
+
+
+def make_pages(text: str) -> bytes:
+    """iWork Pages bundle: index.xml with an <sl:document> marker (the
+    zip-member sniff that selects the pages app) and one text-storage
+    paragraph."""
+    idx = (
+        '<?xml version="1.0"?><sl:document'
+        ' xmlns:sl="http://developer.apple.com/namespaces/sl"'
+        ' xmlns:sf="http://developer.apple.com/namespaces/sf">'
+        "<sf:text-storage><sf:text-body><sf:p>" + text + "</sf:p>"
+        "</sf:text-body></sf:text-storage></sl:document>"
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_STORED) as z:
+        z.writestr(zipfile.ZipInfo("index.xml", _ZIP_TS), idx)
+    return buf.getvalue()
+
+
 _BUILDERS = {
     "pdf": lambda did, text: make_pdf(text),
     "docx": lambda did, text: make_docx(text),
@@ -383,6 +440,8 @@ _BUILDERS = {
     "xls": lambda did, text: make_xls(text),
     "doc": lambda did, text: make_doc(text),
     "ppt": lambda did, text: make_ppt(text),
+    "xlsb": lambda did, text: make_xlsb(text),
+    "pages": lambda did, text: make_pages(text),
 }
 
 _PAGES_SCHEMA = StructType(
@@ -548,6 +607,27 @@ EXTRACT_PPT_SQL = _roundtrip_sql(
 )
 
 
+def extract_xlsb_roundtrip(spark, sf_dir):
+    """XLSB (BIFF12) through the distributed path: ZIP -> varint
+    record reader -> row/cell records — kernel/xlsb_extract.py;
+    reference src/xlsb_parser.cpp."""
+    return _roundtrip(spark, sf_dir, "xlsb")
+
+
+def extract_iwork_roundtrip(spark, sf_dir):
+    """iWork Pages through the distributed path: zip-member sniff
+    (index.xml <sl:document> -> pages) -> SAX text-storage walk —
+    kernel/iwork_extract.py; reference src/iwork_parser.cpp +
+    content_type_iwork.cpp."""
+    return _roundtrip(spark, sf_dir, "pages")
+
+
+# xlsb: "\n\n" after every sheet + close_document newline
+EXTRACT_XLSB_SQL = _roundtrip_sql(
+    XLSB_MIME, "chr(10) || chr(10) || chr(10)"
+)
+EXTRACT_PAGES_SQL = _roundtrip_sql(PAGES_MIME, "chr(10)")
+
 FODT_MIME = "application/vnd.oasis.opendocument.text-flat-xml"
 
 
@@ -653,6 +733,8 @@ QUERIES = {
     "extract_doc_roundtrip": extract_doc_roundtrip,
     "extract_ppt_roundtrip": extract_ppt_roundtrip,
     "extract_fodt_roundtrip": extract_fodt_roundtrip,
+    "extract_xlsb_roundtrip": extract_xlsb_roundtrip,
+    "extract_iwork_roundtrip": extract_iwork_roundtrip,
     "extract_binary_dispatch": extract_binary_dispatch,
 }
 
@@ -669,5 +751,7 @@ ORACLES = {
     "extract_doc_roundtrip": EXTRACT_DOC_SQL,
     "extract_ppt_roundtrip": EXTRACT_PPT_SQL,
     "extract_fodt_roundtrip": EXTRACT_FODT_SQL,
+    "extract_xlsb_roundtrip": EXTRACT_XLSB_SQL,
+    "extract_iwork_roundtrip": EXTRACT_PAGES_SQL,
     "extract_binary_dispatch": EXTRACT_BINARY_DISPATCH_SQL,
 }
