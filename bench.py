@@ -38,6 +38,7 @@ HEADLINE = [
     "text_quality",
     "text_lang_id",
     "text_fingerprint",
+    "text_repetition",
     # dedup (scale paths only)
     "dedup_exact",
     "dedup_minhash_lsh",

@@ -203,11 +203,79 @@ SELECT doc_id,
 FROM t
 """
 
+# ---------------------------------------------------------------------------
+# repetition scoring (Gopher-style quality rules: Rae et al. 2021,
+# "Scaling Language Models" §A1.1 — duplicate-n-gram and top-n-gram
+# fractions are the standard repetition filters for web training data)
+# ---------------------------------------------------------------------------
+
+_BIGRAMS_EXPR = (
+    "transform(sequence(1, greatest(size(tokens) - 1, 0)),"
+    " i -> concat(element_at(tokens, i), ' ', element_at(tokens, i + 1)))"
+)
+
+
+def repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = with_tokens(load(spark, sf_dir, "documents")).withColumn(
+        "bg", F.expr(_BIGRAMS_EXPR)
+    )
+    n_tok = F.size("tokens").cast("bigint")
+    n_bg = F.size("bg").cast("bigint")
+    n_bg_distinct = F.size(F.array_distinct("bg")).cast("bigint")
+    top_bg = F.expr(
+        "coalesce(array_max(transform(array_distinct(bg),"
+        " b -> size(filter(bg, x -> x = b)))), 0)"
+    ).cast("bigint")
+    return docs.select(
+        "doc_id",
+        n_bg.alias("n_bigrams"),
+        F.when(n_bg > 0, F.round((n_bg - n_bg_distinct).cast("double") / n_bg, 6))
+        .otherwise(F.lit(0.0)).alias("dup_bigram_frac"),
+        F.when(
+            n_tok > 0,
+            F.round(
+                (n_tok - F.size(F.array_distinct("tokens"))).cast("double")
+                / n_tok,
+                6,
+            ),
+        ).otherwise(F.lit(0.0)).alias("dup_token_frac"),
+        top_bg.alias("top_bigram_count"),
+    )
+
+
+REPETITION_SQL = f"""
+WITH t AS (
+  SELECT doc_id, {TOKENS_SQL} AS tokens FROM documents
+),
+b AS (
+  SELECT doc_id, tokens,
+         list_transform(generate_series(1, greatest(len(tokens) - 1, 0)),
+                        i -> tokens[i] || ' ' || tokens[i + 1]) AS bg
+  FROM t
+)
+SELECT doc_id,
+       CAST(len(bg) AS BIGINT) AS n_bigrams,
+       CASE WHEN len(bg) > 0
+            THEN round(CAST(len(bg) - len(list_distinct(bg)) AS DOUBLE)
+                       / len(bg), 6)
+            ELSE 0.0 END AS dup_bigram_frac,
+       CASE WHEN len(tokens) > 0
+            THEN round(CAST(len(tokens) - len(list_distinct(tokens))
+                            AS DOUBLE) / len(tokens), 6)
+            ELSE 0.0 END AS dup_token_frac,
+       CAST(coalesce(list_max(list_transform(list_distinct(bg),
+              x -> len(list_filter(bg, y -> y = x)))), 0) AS BIGINT)
+         AS top_bigram_count
+FROM b
+"""
+
+
 QUERIES = {
     "text_token_stats": token_stats,
     "text_quality": quality_score,
     "text_lang_id": lang_id,
     "text_fingerprint": fingerprint,
+    "text_repetition": repetition,
 }
 
 ORACLES = {
@@ -215,4 +283,5 @@ ORACLES = {
     "text_quality": QUALITY_SCORE_SQL,
     "text_lang_id": LANG_ID_SQL,
     "text_fingerprint": FINGERPRINT_SQL,
+    "text_repetition": REPETITION_SQL,
 }
