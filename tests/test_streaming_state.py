@@ -1,0 +1,112 @@
+"""Stateful streaming dedup: cross-batch state + restart recovery.
+
+Two separate availableNow runs over the same checkpoint: batch 2
+contains duplicates of batch 1 — the restarted query must suppress
+them purely from recovered state, proving exactly-once dedup across
+process restarts (the streaming analog of the batch writer's resume
+test).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+
+def _write_pages(spark, path, rows):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(rows, "url string, body string").select(
+        "url", F.encode("body", "UTF-8").alias("html")
+    )
+    df.coalesce(1).write.mode("append").parquet(path)
+
+
+def _run_once(spark, src, chk, out):
+    """One availableNow drain into a fault-tolerant parquet sink (the
+    memory sink does not support checkpoint recovery)."""
+    from docwire_spark.streaming.dedup_stream import stream_dedup
+
+    pages = (
+        spark.readStream.schema("url string, html binary")
+        .format("parquet")
+        .load(src)
+    )
+    q = (
+        stream_dedup(pages)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", chk)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return {
+        (r["host"], r["url"], r["fp"])
+        for r in spark.read.parquet(out).collect()
+    }
+
+
+def test_stream_dedup_across_restarts(spark, tmp_path):
+    src = str(tmp_path / "src")
+    chk = str(tmp_path / "chk")
+    out = str(tmp_path / "out")
+    os.makedirs(src, exist_ok=True)
+
+    _write_pages(spark, src, [
+        ("https://a.example/1", "alpha"),
+        ("https://a.example/2", "beta"),
+        ("https://b.example/1", "alpha"),   # same body, other host: kept
+        ("https://a.example/3", "alpha"),   # dup within batch: dropped
+    ])
+    got1 = _run_once(spark, src, chk, out)
+    assert len(got1) == 3
+    assert {h for h, _, _ in got1} == {"a.example", "b.example"}
+    assert not any(u.endswith("/3") for _, u, _ in got1)
+
+    # second drop: duplicates of batch 1 plus one new doc; a FRESH
+    # query (new run) over the same checkpoint must recover state and
+    # suppress cross-batch duplicates
+    _write_pages(spark, src, [
+        ("https://a.example/4", "alpha"),   # dup of batch 1: dropped
+        ("https://a.example/5", "gamma"),   # new: kept
+        ("https://b.example/2", "alpha"),   # dup for b: dropped
+    ])
+    got2 = _run_once(spark, src, chk, out)
+    new = got2 - got1
+    assert len(got2) == 4 and len(new) == 1
+    ((host, url, _fp),) = new
+    assert host == "a.example" and url.endswith("/5")
+
+
+def test_stream_dedup_is_deterministic_state(spark, tmp_path):
+    """State stores the sorted fingerprint set — a restart after crash
+    between batches yields identical output regardless of row order."""
+    from docwire_spark.streaming.dedup_stream import _dedup_state_fn
+
+    import pandas as pd
+
+    class FakeState:
+        exists = False
+
+        def __init__(self):
+            self.updated = None
+
+        @property
+        def get(self):
+            raise AssertionError("no state yet")
+
+        def update(self, v):
+            self.updated = v
+
+    st = FakeState()
+    out = list(_dedup_state_fn(
+        ("h",),
+        iter([pd.DataFrame({"url": ["u1", "u2", "u3"],
+                            "fp": ["b", "a", "b"]})]),
+        st,
+    ))
+    assert list(out[0]["fp"]) == ["b", "a"]
+    assert st.updated == (["a", "b"],)
