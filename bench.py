@@ -50,6 +50,7 @@ HEADLINE = [
     "similarity_ann_lsh",
     # multimodal plumbing
     "multimodal_meta",
+    "multimodal_frames",
     # relational shell
     "events_by_type",
     "events_user_sessions",

@@ -130,5 +130,91 @@ SELECT doc_id, kind,
 FROM m
 """
 
-QUERIES = {"multimodal_meta": multimodal_meta}
-ORACLES = {"multimodal_meta": MULTIMODAL_META_SQL}
+# ---------------------------------------------------------------------------
+# frame sampling (one-to-many media op)
+# ---------------------------------------------------------------------------
+
+FRAME_INTERVAL_MS = 100
+MAX_FRAMES = 8
+
+FRAMES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("ts_ms", LongType()),
+        StructField("frame_sha", StringType()),
+    ]
+)
+
+
+def sample_frames(blob: bytes, duration_ms: int):
+    """Deterministic fake frame decode (stands in for an ffmpeg
+    keyframe pull): one frame per FRAME_INTERVAL_MS up to MAX_FRAMES;
+    each "frame" is a 16-byte slice of the payload at a stride-37
+    offset.  The plumbing — one input row fanning out to N output
+    rows inside the Arrow batch — is the real thing; swap this for a
+    codec on a cluster that has one."""
+    import hashlib
+
+    n = min(duration_ms // FRAME_INTERVAL_MS + 1, MAX_FRAMES)
+    window = max(len(blob) - 15, 1)
+    out = []
+    for k in range(n):
+        off = (k * 37) % window
+        frame = blob[off:off + 16]
+        out.append((k, k * FRAME_INTERVAL_MS,
+                    hashlib.sha256(frame).hexdigest()))
+    return out
+
+
+def _frame_batches(iterator):
+    import pandas as pd
+
+    for pdf in iterator:
+        rows = {k.name: [] for k in FRAMES_SCHEMA.fields}
+        for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+            blob = bytes(blob) if blob is not None else b""
+            for idx, ts, sha in sample_frames(blob, len(blob) * 3):
+                rows["doc_id"].append(doc_id)
+                rows["frame_idx"].append(idx)
+                rows["ts_ms"].append(ts)
+                rows["frame_sha"].append(sha)
+        yield pd.DataFrame(rows)
+
+
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over the video slice of the media table: binary
+    column in, N frame rows out per video (the one-to-many mapInPandas
+    shape video/audio feature extraction needs)."""
+    videos = media_table(spark, sf_dir).filter(F.col("kind") == "video")
+    return videos.select("doc_id", "blob").mapInPandas(
+        _frame_batches, FRAMES_SCHEMA
+    )
+
+
+MULTIMODAL_FRAMES_SQL = f"""
+WITH v AS (
+  SELECT doc_id, text, length(text) AS n
+  FROM documents WHERE doc_id % 3 = 2
+),
+f AS (
+  SELECT doc_id, text, n, g.k AS frame_idx
+  FROM v, generate_series(0, {MAX_FRAMES - 1}) g(k)
+  WHERE g.k < least(n * 3 // {FRAME_INTERVAL_MS} + 1, {MAX_FRAMES})
+)
+SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+       CAST(frame_idx * {FRAME_INTERVAL_MS} AS BIGINT) AS ts_ms,
+       sha256(substr(text,
+                     ((frame_idx * 37) % greatest(n - 15, 1)) + 1, 16))
+         AS frame_sha
+FROM f
+"""
+
+QUERIES = {
+    "multimodal_meta": multimodal_meta,
+    "multimodal_frames": multimodal_frames,
+}
+ORACLES = {
+    "multimodal_meta": MULTIMODAL_META_SQL,
+    "multimodal_frames": MULTIMODAL_FRAMES_SQL,
+}
