@@ -255,6 +255,10 @@ def _parse_by_mime(data: bytes, mime: str):
         return xml_to_events(data), {}
     if mime in TXT_MIMES:
         return txt_to_events(data), {}
+    if mime == "application/dicom":
+        from docwire_spark.kernel.dicom_extract import dicom_to_events
+
+        return dicom_to_events(data)
     if mime.startswith("image/"):
         # reference routes image/* to ocr_parser (src/ocr_parser.cpp);
         # the hook degrades to a per-row error when no engine exists

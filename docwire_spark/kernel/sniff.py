@@ -67,6 +67,7 @@ EXTENSION_MIME = {
     "bmp": "image/bmp",
     "svg": "image/svg+xml",
     "ico": "image/vnd.microsoft.icon",
+    "dcm": "application/dicom",
 }
 
 _MAGIC = [
@@ -187,6 +188,11 @@ def detect_mime(data_prefix: bytes, url: str = "") -> tuple:
                 break
         if not sig_hit and data_prefix[257:262] == b"ustar":
             add("application/x-tar", VERY_HIGH)
+            sig_hit = True
+        # DICOM: 128-byte preamble + "DICM" (PS3.10 §7.1 — not a
+        # plain prefix, so outside the _MAGIC table)
+        if not sig_hit and data_prefix[128:132] == b"DICM":
+            add("application/dicom", VERY_HIGH)
             sig_hit = True
         # WEBP: "RIFF" + 4 size bytes + "WEBP" (content_type_image.cpp:
         # 42-48 — not a plain prefix, so outside the _MAGIC table)
