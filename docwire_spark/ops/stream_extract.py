@@ -80,5 +80,66 @@ SELECT doc_id, 'text/html' AS mime,
 FROM documents
 """
 
-QUERIES = {"extract_stream_plain": extract_stream_plain}
-ORACLES = {"extract_stream_plain": EXTRACT_STREAM_PLAIN_SQL}
+def stream_dedup_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom STATEFUL streaming operator under the full oracle gate:
+    pages stream in as four single-file micro-batches
+    (maxFilesPerTrigger=1), the applyInPandasWithState dedup keeps the
+    per-host seen-fingerprint set across batches, and the emitted
+    first-seen rows are projected to the deterministic (host, fp) SET
+    — which duplicate row wins is order-dependent, the set of
+    surviving fingerprints is not, so DuckDB can verify it exactly.
+    Payload = first two tokens of each document (collides across docs
+    by construction -> real in-batch AND cross-batch suppressions)."""
+    from docwire_spark.streaming.dedup_stream import stream_dedup
+
+    docs = load(spark, sf_dir, "documents")
+    pages = docs.select(
+        F.concat(F.lit("https://"), F.col("source"), F.lit("/d/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        F.encode(
+            F.expr(
+                "array_join(slice(regexp_extract_all(lower(text),"
+                " '[a-z0-9]+', 0), 1, 2), ' ')"
+            ),
+            "UTF-8",
+        ).alias("html"),
+    )
+    drop_dir = tempfile.mkdtemp(prefix="stream_state_src_")
+    chk_dir = tempfile.mkdtemp(prefix="stream_state_chk_")
+    out_dir = tempfile.mkdtemp(prefix="stream_state_out_")
+    pages.repartition(4).write.mode("overwrite").parquet(drop_dir)
+
+    stream_pages = (
+        spark.readStream.schema("url string, html binary")
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)  # force multiple micro-batches
+        .load(drop_dir)
+    )
+    q = (
+        stream_dedup(stream_pages)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", os.path.join(chk_dir, "chk"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir).select("host", "fp").distinct()
+
+
+STREAM_DEDUP_STATEFUL_SQL = """
+SELECT DISTINCT source AS host,
+       md5(array_to_string(
+         regexp_extract_all(lower(text), '[a-z0-9]+')[1:2], ' ')) AS fp
+FROM documents
+"""
+
+QUERIES = {
+    "extract_stream_plain": extract_stream_plain,
+    "stream_dedup_stateful": stream_dedup_stateful,
+}
+ORACLES = {
+    "extract_stream_plain": EXTRACT_STREAM_PLAIN_SQL,
+    "stream_dedup_stateful": STREAM_DEDUP_STATEFUL_SQL,
+}
