@@ -255,6 +255,11 @@ def _parse_by_mime(data: bytes, mime: str):
         return xml_to_events(data), {}
     if mime in TXT_MIMES:
         return txt_to_events(data), {}
+    if mime in ("application/vnd.ms-outlook-pst",
+                "application/vnd.ms-outlook-ost"):
+        from docwire_spark.kernel.pst_extract import pst_to_events
+
+        return pst_to_events(data, _parse_child)
     if mime == "application/dicom":
         from docwire_spark.kernel.dicom_extract import dicom_to_events
 

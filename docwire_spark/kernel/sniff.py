@@ -68,6 +68,8 @@ EXTENSION_MIME = {
     "svg": "image/svg+xml",
     "ico": "image/vnd.microsoft.icon",
     "dcm": "application/dicom",
+    "pst": "application/vnd.ms-outlook-pst",
+    "ost": "application/vnd.ms-outlook-ost",
 }
 
 _MAGIC = [
@@ -90,6 +92,7 @@ _MAGIC = [
     # names at parse time (full payload needed; the reference's
     # libmagic path resolves it the same way)
     (b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1", "application/x-ole-storage"),
+    (b"!BDN", "application/vnd.ms-outlook-pst"),
 ]
 
 
