@@ -8,8 +8,15 @@ gates on its supported mime types) collapsed into one function call.
 
 from __future__ import annotations
 
+import contextvars
 import struct
 from dataclasses import dataclass, field
+
+#: active mail filter (standard_filter::filterByMailMinCreationTime);
+#: context-scoped so nested back-channel extractions inherit it
+_MAIL_MIN_CTIME: contextvars.ContextVar = contextvars.ContextVar(
+    "mail_min_ctime", default=None
+)
 
 from docwire_spark.kernel import events as E
 from docwire_spark.kernel.charset import ensure_html_utf8
@@ -88,12 +95,18 @@ def extract(
     url: str = "",
     want_main_content: bool = False,
     exports: tuple = (),
+    mail_min_creation_time: int | None = None,
     _depth: int = 0,
 ) -> ExtractResult:
     """``exports`` ⊆ {'html', 'meta_text', 'csv'} adds the optional
     exporter renders (reference html_writer / meta_data_writer /
-    csv_writer) alongside the default plain-text output."""
+    csv_writer) alongside the default plain-text output.
+    ``mail_min_creation_time`` applies the reference's
+    standard_filter::filterByMailMinCreationTime to mailbox formats
+    (messages created before the unix timestamp are skipped)."""
     res = ExtractResult(url=url)
+    _tok = _MAIL_MIN_CTIME.set(mail_min_creation_time) \
+        if mail_min_creation_time is not None else None
     try:
         mime, conf = detect_mime(data[:SNIFF_PREFIX_BYTES], url)
         res.mime = mime
@@ -149,6 +162,9 @@ def extract(
         return _finish(res, events, meta, want_main_content, exports)
     except Exception as exc:  # per-row error capture (no continuation::stop)
         res.error = f"{type(exc).__name__}: {exc}"
+    finally:
+        if _tok is not None:
+            _MAIL_MIN_CTIME.reset(_tok)
     return res
 
 
@@ -259,7 +275,8 @@ def _parse_by_mime(data: bytes, mime: str):
                 "application/vnd.ms-outlook-ost"):
         from docwire_spark.kernel.pst_extract import pst_to_events
 
-        return pst_to_events(data, _parse_child)
+        return pst_to_events(data, _parse_child,
+                             mail_min_creation_time=_MAIL_MIN_CTIME.get())
     if mime == "application/dicom":
         from docwire_spark.kernel.dicom_extract import dicom_to_events
 

@@ -361,13 +361,15 @@ def _folder_table_nids(pst, folder_nid, kind):
     return TC(pst, ent[0], ent[1]).row_nids()
 
 
-def _walk_folder(pst, nid, depth, events, parse_child):
+def _walk_folder(pst, nid, depth, events, parse_child,
+                 mail_min_creation_time=None):
     for sub in _folder_table_nids(pst, nid, 0x0D):
         if sub not in pst.nbt:
             continue
         pc = PC(pst, *pst.nbt[sub])
         events.append((E.FOLDER, (pc.get(PR_DISPLAY_NAME) or "", depth)))
-        _walk_folder(pst, sub, depth + 1, events, parse_child)
+        _walk_folder(pst, sub, depth + 1, events, parse_child,
+                     mail_min_creation_time)
         events.append((E.CLOSE_FOLDER, None))
     for msg in _folder_table_nids(pst, nid, 0x0E):
         if msg not in pst.nbt:
@@ -380,8 +382,15 @@ def _walk_folder(pst, nid, depth, events, parse_child):
             # prefix: the reference golden contains it verbatim
             # (libpff returns the stored value unmodified)
             subject = pc.get(PR_SUBJECT) or ""
-            events.append((E.MAIL,
-                           (subject, pc.get(PR_CREATION_TIME), depth)))
+            ctime = pc.get(PR_CREATION_TIME)
+            if mail_min_creation_time is not None and (
+                ctime is None or ctime < mail_min_creation_time
+            ):
+                # standard_filter::filterByMailMinCreationTime skips
+                # the whole message — body, attachments AND close_mail
+                # (reference pst_parser.cpp: `continue` on skip)
+                continue
+            events.append((E.MAIL, (subject, ctime, depth)))
             events.append((E.MAIL_BODY, None))
             events.extend(parse_child(bytes(html), "text/html"))
             events.append((E.CLOSE_MAIL_BODY, None))
@@ -400,12 +409,16 @@ def _walk_folder(pst, nid, depth, events, parse_child):
         events.append((E.CLOSE_MAIL, None))
 
 
-def pst_to_events(data: bytes, parse_child):
+def pst_to_events(data: bytes, parse_child, mail_min_creation_time=None):
     """Walk the PST messaging layer into renderer events; bodies and
     attachments re-enter the chain via parse_child (reference
-    pst_parser.cpp:363-427 parse_internal)."""
+    pst_parser.cpp:363-427 parse_internal).  ``mail_min_creation_time``
+    implements standard_filter::filterByMailMinCreationTime
+    (standard_filter.cpp:57-66): html-bearing messages created before
+    the unix-seconds threshold are skipped entirely."""
     pst = Pst(data)
     events = [(E.DOCUMENT, None)]
-    _walk_folder(pst, NID_ROOT_FOLDER, 0, events, parse_child)
+    _walk_folder(pst, NID_ROOT_FOLDER, 0, events, parse_child,
+                 mail_min_creation_time)
     events.append((E.CLOSE_DOCUMENT, None))
     return events, {}

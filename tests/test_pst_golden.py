@@ -15,6 +15,17 @@ def test_pst_golden_byte_identical():
     assert r.text == exp
 
 
+def test_pst_mail_min_creation_time_filter_golden():
+    """standard_filter::filterByMailMinCreationTime semantics: both
+    mails predate the threshold, so only the folder skeleton remains
+    (reference tests/1.pst.2.out)."""
+    data = reference_fixture("1.pst")
+    exp = reference_fixture("1.pst.2.out")
+    r = extract(data, url="1.pst", mail_min_creation_time=1644216799)
+    assert r.error is None
+    assert r.text == exp
+
+
 def test_pst_magic_detection_without_extension():
     data = reference_fixture("1.pst")
     r = extract(data, url="https://x.example/blob")
