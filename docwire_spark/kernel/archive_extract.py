@@ -8,7 +8,7 @@ tests/test.zip.out = concatenation of the entries' own .out
 renderings).  If no entry parses, the archive is uninterpretable
 (message_counters.all_failed, archives_parser.cpp:255-256).
 
-rar is not supported (no stdlib codec); encrypted entries raise like
+rar5 via the own decoder in kernel/rar5.py; encrypted entries raise like
 the reference's assert_not_encrypted.
 """
 
@@ -28,6 +28,7 @@ ARCHIVE_MIMES = frozenset(
         "application/gzip",
         "application/x-bzip2",
         "application/x-xz",
+        "application/vnd.rar",
     )
 )
 
@@ -53,6 +54,15 @@ def iter_entries(data: bytes, mime: str, url: str = ""):
             if n > MAX_ENTRIES:
                 raise ArchiveError("too many archive entries")
             yield info.filename, zf.read(info)
+    elif mime == "application/vnd.rar":
+        from docwire_spark.kernel.rar5 import iter_rar5
+
+        n = 0
+        for name, payload in iter_rar5(data):
+            n += 1
+            if n > MAX_ENTRIES:
+                raise ArchiveError("too many archive entries")
+            yield name, payload
     elif mime == "application/x-tar":
         tf = tarfile.open(fileobj=io.BytesIO(data), mode="r:")
         n = 0

@@ -93,6 +93,7 @@ _MAGIC = [
     # libmagic path resolves it the same way)
     (b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1", "application/x-ole-storage"),
     (b"!BDN", "application/vnd.ms-outlook-pst"),
+    (b"Rar!\x1a\x07", "application/vnd.rar"),
 ]
 
 
