@@ -373,6 +373,39 @@ def make_ppt(text: str) -> bytes:
 
 XLSB_MIME = "application/vnd.ms-excel.sheet.binary.macroenabled.12"
 PAGES_MIME = "application/vnd.apple.pages"
+RAR_MIME = "application/vnd.rar"
+
+
+def make_rar(text: str) -> bytes:
+    """Minimal RAR5 with one stored (method-0) text member — enough
+    to exercise the rar sniff + kernel/rar5.py walk + member dispatch
+    through the distributed path."""
+    import struct
+    import zlib
+
+    def vint(n):
+        out = b""
+        while True:
+            b = n & 0x7F
+            n >>= 7
+            out += bytes([b | (0x80 if n else 0)])
+            if not n:
+                return out
+
+    def block(htype, fields, data=b""):
+        body = vint(htype) + fields
+        hdr = vint(len(body)) + body
+        return struct.pack("<I", zlib.crc32(hdr)) + hdr + data
+
+    payload = text.encode()
+    nm = b"a.txt"
+    out = b"Rar!\x1a\x07\x01\x00"
+    out += block(1, vint(0) + vint(0))
+    out += block(2, vint(2) + vint(len(payload)) + vint(0)
+                 + vint(len(payload)) + vint(0) + vint(0) + vint(0)
+                 + vint(len(nm)) + nm, payload)
+    out += block(5, vint(0) + vint(0))
+    return out
 
 
 def make_xlsb(text: str) -> bytes:
@@ -442,6 +475,7 @@ _BUILDERS = {
     "ppt": lambda did, text: make_ppt(text),
     "xlsb": lambda did, text: make_xlsb(text),
     "pages": lambda did, text: make_pages(text),
+    "rar": lambda did, text: make_rar(text),
 }
 
 _PAGES_SCHEMA = StructType(
@@ -614,6 +648,16 @@ def extract_xlsb_roundtrip(spark, sf_dir):
     return _roundtrip(spark, sf_dir, "xlsb")
 
 
+def extract_rar_roundtrip(spark, sf_dir):
+    """RAR5 archive through the distributed path: Rar! magic sniff ->
+    kernel/rar5.py walk -> stored member re-enters the chain as txt —
+    kernel/archive_extract.py; reference src/archives_parser.cpp."""
+    return _roundtrip(spark, sf_dir, "rar")
+
+
+EXTRACT_RAR_SQL = _roundtrip_sql(RAR_MIME, "chr(10) || chr(10)")
+
+
 def extract_iwork_roundtrip(spark, sf_dir):
     """iWork Pages through the distributed path: zip-member sniff
     (index.xml <sl:document> -> pages) -> SAX text-storage walk —
@@ -734,6 +778,7 @@ QUERIES = {
     "extract_ppt_roundtrip": extract_ppt_roundtrip,
     "extract_fodt_roundtrip": extract_fodt_roundtrip,
     "extract_xlsb_roundtrip": extract_xlsb_roundtrip,
+    "extract_rar_roundtrip": extract_rar_roundtrip,
     "extract_iwork_roundtrip": extract_iwork_roundtrip,
     "extract_binary_dispatch": extract_binary_dispatch,
 }
@@ -752,6 +797,7 @@ ORACLES = {
     "extract_ppt_roundtrip": EXTRACT_PPT_SQL,
     "extract_fodt_roundtrip": EXTRACT_FODT_SQL,
     "extract_xlsb_roundtrip": EXTRACT_XLSB_SQL,
+    "extract_rar_roundtrip": EXTRACT_RAR_SQL,
     "extract_iwork_roundtrip": EXTRACT_PAGES_SQL,
     "extract_binary_dispatch": EXTRACT_BINARY_DISPATCH_SQL,
 }
