@@ -96,10 +96,13 @@ def main():
     timings = {}
     n_docs = None
     t_extract = 0.0
+    from docwire_spark.ops.common import release_persisted
+
     for name in HEADLINE:
         t0 = time.time()
         df = qs[name](spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
+        release_persisted()  # free tables the query builder cached
         dt = time.time() - t0
         timings[name] = round(dt, 3)
         if name.startswith("extract_"):

@@ -27,6 +27,55 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet"))
 
 
+#: Row caps for the size-gated broadcast hint below.  SLIM rows carry a
+#: couple of int64s (band keys, member ids); HEAVY rows carry an array
+#: payload (shingle set, 64-double vector) — ~2 KiB worst case, so the
+#: heavy cap keeps the broadcast build side well under 1 GiB.  Above
+#: the cap the hint is omitted and the join degrades gracefully to a
+#: shuffled equi-join on the key (the bucketed-join shape that is the
+#: right plan at 10^12 docs); AQE may still promote it to broadcast at
+#: runtime if the measured size allows.
+BROADCAST_SLIM_ROW_LIMIT = 4_000_000
+BROADCAST_HEAVY_ROW_LIMIT = 400_000
+
+
+def broadcast_if_small(df: DataFrame, n_rows: int, row_limit: int) -> DataFrame:
+    """Apply an explicit ``F.broadcast`` hint only when the side table
+    is measured small.
+
+    Corpus-derived side tables (one row per distinct shingle set /
+    simhash / vector) are O(corpus): an unconditional hint OOMs the
+    driver at cluster scale and is exactly the thing AQE will not
+    demote.  Callers pass the *measured* row count of the (persisted)
+    table — a single aggregate job, amortized across the many plan
+    branches the table feeds."""
+    return F.broadcast(df) if n_rows <= row_limit else df
+
+
+#: Handles persisted by query builders, released via release_persisted().
+_PERSISTED: list[DataFrame] = []
+
+
+def persist_tracked(df: DataFrame) -> DataFrame:
+    """persist() with a module-level handle so long-lived sessions can
+    release cached tables between queries (ADVICE r2: persist without
+    unpersist accumulates executor storage until LRU eviction)."""
+    df = df.persist()
+    _PERSISTED.append(df)
+    return df
+
+
+def release_persisted() -> None:
+    """Unpersist every table cached by query builders since the last
+    release.  Harnesses (bench.py, tools/check_oracles.py) call this
+    after consuming each query's result."""
+    while _PERSISTED:
+        try:
+            _PERSISTED.pop().unpersist()
+        except Exception:
+            pass
+
+
 def with_tokens(df: DataFrame, distinct: bool = False) -> DataFrame:
     out = df.withColumn("tokens", F.expr(TOKENS_EXPR))
     if distinct:

@@ -63,7 +63,15 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from docwire_spark.ops.common import TOKENS_SQL, load, with_tokens
+from docwire_spark.ops.common import (
+    BROADCAST_HEAVY_ROW_LIMIT,
+    BROADCAST_SLIM_ROW_LIMIT,
+    TOKENS_SQL,
+    broadcast_if_small,
+    load,
+    persist_tracked,
+    with_tokens,
+)
 
 NUM_HASHES = 125
 BAND_SIZE = 5          # r: rows per band
@@ -222,8 +230,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         # each branch prunes a different column set).  The table is
         # compact (one row per distinct shingle set) — persisting it is
         # the canonical pattern at cluster scale too.
-        .persist()
     )
+    groups = persist_tracked(groups)
+    # one aggregate job materializes the cache AND measures the rep
+    # count that gates the broadcast hints below
+    n_groups = groups.count()
     reps = groups.select("gid", "sh", "keys")
     bands = reps.select(
         "gid", "keys", F.posexplode("keys").alias("band", "key")
@@ -240,18 +251,25 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.gid").alias("ga"), F.col("b.gid").alias("gb"))
     )
     # the rep tables are compact after collapse -> broadcast to the
-    # candidate stream (no shuffle of the multi-million-pair side); at
-    # 10^12-doc scale replace with a join bucketed on gid
+    # candidate stream (no shuffle of the multi-million-pair side),
+    # but ONLY while the measured rep count stays under the heavy cap:
+    # past it the hint is omitted and the verify becomes a shuffled
+    # equi-join on gid — the right plan at 10^12 docs, where an
+    # unconditional O(corpus) broadcast would OOM the driver
     sh_tbl = reps.select("gid", "sh")
     verified = (
         cand.join(
-            F.broadcast(sh_tbl.select(F.col("gid").alias("ga"),
-                                      F.col("sh").alias("sha"))),
+            broadcast_if_small(
+                sh_tbl.select(F.col("gid").alias("ga"),
+                              F.col("sh").alias("sha")),
+                n_groups, BROADCAST_HEAVY_ROW_LIMIT),
             "ga",
         )
         .join(
-            F.broadcast(sh_tbl.select(F.col("gid").alias("gb"),
-                                      F.col("sh").alias("shb"))),
+            broadcast_if_small(
+                sh_tbl.select(F.col("gid").alias("gb"),
+                              F.col("sh").alias("shb")),
+                n_groups, BROADCAST_HEAVY_ROW_LIMIT),
             "gb",
         )
         .withColumn("n_inter", F.size(F.array_intersect("sha", "shb")))
@@ -269,13 +287,17 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     mem = groups.select("gid", "members")
     cross = (
         verified.join(
-            F.broadcast(mem.select(F.col("gid").alias("ga"),
-                                   F.col("members").alias("ma"))),
+            broadcast_if_small(
+                mem.select(F.col("gid").alias("ga"),
+                           F.col("members").alias("ma")),
+                n_groups, BROADCAST_SLIM_ROW_LIMIT),
             "ga",
         )
         .join(
-            F.broadcast(mem.select(F.col("gid").alias("gb"),
-                                   F.col("members").alias("mb"))),
+            broadcast_if_small(
+                mem.select(F.col("gid").alias("gb"),
+                           F.col("members").alias("mb")),
+                n_groups, BROADCAST_SLIM_ROW_LIMIT),
             "gb",
         )
         .select(F.explode("ma").alias("a"), "mb", "jaccard")
@@ -519,8 +541,11 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("gid"),
             F.collect_list("doc_id").alias("members"),
         )
-        .persist()  # one row per distinct simhash; feeds 5 branches
     )
+    # one row per distinct simhash; feeds 5 branches.  count()
+    # materializes the cache and gates the broadcast hints below.
+    groups = persist_tracked(groups)
+    n_groups = groups.count()
     bands = groups.select(
         "gid", "simhash", F.posexplode(F.expr(_BLOCKS_EXPR)).alias("blk", "val")
     )
@@ -545,13 +570,17 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     mem = groups.select("gid", "members")
     cross = (
         rep_pairs.join(
-            F.broadcast(mem.select(F.col("gid").alias("ga"),
-                                   F.col("members").alias("ma"))),
+            broadcast_if_small(
+                mem.select(F.col("gid").alias("ga"),
+                           F.col("members").alias("ma")),
+                n_groups, BROADCAST_SLIM_ROW_LIMIT),
             "ga",
         )
         .join(
-            F.broadcast(mem.select(F.col("gid").alias("gb"),
-                                   F.col("members").alias("mb"))),
+            broadcast_if_small(
+                mem.select(F.col("gid").alias("gb"),
+                           F.col("members").alias("mb")),
+                n_groups, BROADCAST_SLIM_ROW_LIMIT),
             "gb",
         )
         .select(F.explode("ma").alias("a"), "mb", "hamming")
@@ -680,8 +709,12 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     # persist: the banded table feeds both self-join sides and the two
-    # vector back-joins (4 plan branches; see dedup_minhash_lsh note)
-    banded = vecs.mapInPandas(_emb_band_batches, _EMB_SCHEMA).persist()
+    # vector back-joins (4 plan branches; see dedup_minhash_lsh note);
+    # count() materializes it and gates the broadcast hints below
+    banded = persist_tracked(
+        vecs.mapInPandas(_emb_band_batches, _EMB_SCHEMA)
+    )
+    n_vecs = banded.count()
     # slim band rows: ids + 24 int keys only — the 64-double vectors do
     # NOT ride the candidate join; they are joined back onto the much
     # smaller verified-candidate set (AQE picks broadcast at bench
@@ -715,19 +748,25 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # broadcast the compact vector table onto the candidate stream
     # (sort-merge here shuffles every candidate row WITH both 64-double
-    # payloads — measured 3x the whole query's cost at sf0.1); at
-    # cluster scale replace with a join bucketed on vec_id
+    # payloads — measured 3x the whole query's cost at sf0.1) — gated
+    # on the measured vector count: past the heavy cap the hint is
+    # omitted and the back-join becomes a shuffled equi-join on
+    # vec_id (bucketed-join shape at cluster scale)
     return (
         cand.join(
-            F.broadcast(vn.select(F.col("vec_id").alias("vec_a"),
-                                  F.col("v").alias("qv"),
-                                  F.col("norm").alias("qnorm"))),
+            broadcast_if_small(
+                vn.select(F.col("vec_id").alias("vec_a"),
+                          F.col("v").alias("qv"),
+                          F.col("norm").alias("qnorm")),
+                n_vecs, BROADCAST_HEAVY_ROW_LIMIT),
             "vec_a",
         )
         .join(
-            F.broadcast(vn.select(F.col("vec_id").alias("vec_b"),
-                                  F.col("v").alias("nv"),
-                                  F.col("norm").alias("nnorm"))),
+            broadcast_if_small(
+                vn.select(F.col("vec_id").alias("vec_b"),
+                          F.col("v").alias("nv"),
+                          F.col("norm").alias("nnorm")),
+                n_vecs, BROADCAST_HEAVY_ROW_LIMIT),
             "vec_b",
         )
         .withColumn("cos_sim", F.expr(_COS))

@@ -187,11 +187,29 @@ def events_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum): events > 30 min apart start a new session per user; the
     shuffle key is user_id and every window step is a single pass
     within the partition — the canonical scale shape for event-stream
-    sessionization."""
+    sessionization.
+
+    Oracle-stability design (round-3 fix for the one flaky hash):
+    - the window orders by (ts, event_id) so ties on ts are
+      deterministic on any corpus;
+    - ``value`` is scaled to an exact BIGINT in 1e-4 units via
+      ``floor(value*10000 + 0.5)`` (identical IEEE double semantics
+      in Spark and DuckDB), summed as integers (exact and
+      order-independent), and rounded to cents once at the end with
+      the same floor(+0.5) half-up — no round(sum(double)) whose
+      HALF_UP-of-decimal-repr vs round-binary-double behaviour
+      differs across engines."""
     from pyspark.sql import Window
 
-    ev = load(spark, sf_dir, "events").select("user_id", "ts", "value")
-    w = Window.partitionBy("user_id").orderBy("ts")
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.floor(F.col("value") * 10000 + F.lit(0.5))
+        .cast("bigint")
+        .alias("value_s"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
     sess = (
         ev.withColumn(
@@ -205,45 +223,46 @@ def events_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    return (
-        sess.groupBy("user_id", "session_id")
-        .agg(
-            F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
-        )
-        .groupBy("user_id")
-        .agg(
-            F.max("session_id").alias("n_sessions"),
-            F.max("n_events").alias("max_session_events"),
-            F.round(F.sum("sum_value"), 2).alias("total_value"),
-        )
+    per = sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.sum("value_s").alias("sum_value_s"),
+    )
+    return per.groupBy("user_id").agg(
+        F.max("session_id").alias("n_sessions"),
+        F.max("n_events").alias("max_session_events"),
+        (
+            F.floor(F.sum("sum_value_s") / 100.0 + F.lit(0.5)).cast("double")
+            / 100.0
+        ).alias("total_value"),
     )
 
 
 EVENTS_SESSIONS_SQL = """
 WITH g AS (
-  SELECT user_id, ts, value,
+  SELECT user_id, ts, event_id,
+         CAST(floor(value * 10000 + 0.5) AS BIGINT) AS value_s,
          CASE WHEN lag(ts) OVER w IS NULL
                    OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
               THEN 1 ELSE 0 END AS new_session
   FROM events
-  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ),
 s AS (
-  SELECT user_id, value,
-         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+  SELECT user_id, value_s,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                 ROWS UNBOUNDED PRECEDING) AS session_id
   FROM g
 ),
 per AS (
   SELECT user_id, session_id,
          CAST(count(*) AS BIGINT) AS n_events,
-         round(sum(value), 2) AS sum_value
+         sum(value_s) AS sum_value_s
   FROM s GROUP BY user_id, session_id
 )
 SELECT user_id, max(session_id) AS n_sessions,
        max(n_events) AS max_session_events,
-       round(sum(sum_value), 2) AS total_value
+       CAST(floor(sum(sum_value_s) / 100.0 + 0.5) AS DOUBLE) / 100.0
+         AS total_value
 FROM per GROUP BY user_id
 """
 

@@ -28,7 +28,12 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from docwire_spark.ops.common import load
+from docwire_spark.ops.common import (
+    BROADCAST_HEAVY_ROW_LIMIT,
+    broadcast_if_small,
+    load,
+    persist_tracked,
+)
 from docwire_spark.ops.dedup import (
     _COS, EMB_BAND_SIZE, EMB_DIM, EMB_N_BANDS, NORM_CODEGEN, _EMB_SCHEMA,
     _emb_band_batches, _emb_planes,
@@ -114,7 +119,10 @@ def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    banded = vecs.mapInPandas(_emb_band_batches, _EMB_SCHEMA).persist()
+    banded = persist_tracked(
+        vecs.mapInPandas(_emb_band_batches, _EMB_SCHEMA)
+    )
+    n_vecs = banded.count()
     bands = banded.select(
         "vec_id", F.posexplode("keys").alias("band", "key")
     )
@@ -130,17 +138,25 @@ def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     vn = banded.withColumn(
         "norm", F.expr(NORM_CODEGEN)
     ).select("vec_id", "v", "norm")
+    # query-side vectors: pre-filtered to the O(1) query set, so the
+    # unconditional broadcast is always safe.  Neighbor-side vectors
+    # are O(corpus) — hint only while the measured count stays under
+    # the heavy cap; past it the back-join shuffles on neighbor_id
+    # (bucketed-join shape at cluster scale).
+    qvecs = vn.filter(F.col("vec_id") < LSH_N_QUERIES)
     scored = (
         cand.join(
-            F.broadcast(vn.select(F.col("vec_id").alias("query_id"),
-                                  F.col("v").alias("qv"),
-                                  F.col("norm").alias("qnorm"))),
+            F.broadcast(qvecs.select(F.col("vec_id").alias("query_id"),
+                                     F.col("v").alias("qv"),
+                                     F.col("norm").alias("qnorm"))),
             "query_id",
         )
         .join(
-            F.broadcast(vn.select(F.col("vec_id").alias("neighbor_id"),
-                                  F.col("v").alias("nv"),
-                                  F.col("norm").alias("nnorm"))),
+            broadcast_if_small(
+                vn.select(F.col("vec_id").alias("neighbor_id"),
+                          F.col("v").alias("nv"),
+                          F.col("norm").alias("nnorm")),
+                n_vecs, BROADCAST_HEAVY_ROW_LIMIT),
             "neighbor_id",
         )
         .withColumn("cos_sim", F.expr(_COS))

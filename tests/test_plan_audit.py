@@ -73,6 +73,53 @@ def test_dedup_verify_joins_are_broadcast(spark):
         assert "BroadcastHashJoin" in plan, fn.__name__
 
 
+def test_broadcast_hints_are_size_gated(spark, monkeypatch):
+    """The round-2 scale-killer: unconditional F.broadcast() of
+    corpus-sized side tables.  Forcing the gate closed (row limits = 0,
+    simulating a 10^12-doc corpus where every derived table exceeds the
+    cap) must yield a plan with NO broadcast hint anywhere — the
+    back-joins degrade to shuffled equi-joins on the key, the candidate
+    stream is never a broadcast build side — and identical results."""
+    from docwire_spark.ops import dedup, similarity
+
+    baseline = {
+        "mh": dedup.dedup_minhash_lsh(spark, SF_DIR).count(),
+        "sh": dedup.dedup_simhash_pairs(spark, SF_DIR).count(),
+        "emb": dedup.dedup_embedding(spark, SF_DIR).count(),
+    }
+    monkeypatch.setattr(dedup, "BROADCAST_HEAVY_ROW_LIMIT", 0)
+    monkeypatch.setattr(dedup, "BROADCAST_SLIM_ROW_LIMIT", 0)
+    monkeypatch.setattr(similarity, "BROADCAST_HEAVY_ROW_LIMIT", 0)
+    # also disable stats-driven auto-broadcast so any surviving
+    # BroadcastExchange can only come from an explicit hint
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        for name, fn in (
+            ("mh", dedup.dedup_minhash_lsh),
+            ("sh", dedup.dedup_simhash_pairs),
+            ("emb", dedup.dedup_embedding),
+        ):
+            df = fn(spark, SF_DIR)
+            plan = _plan(df)
+            assert "CartesianProduct" not in plan, name
+            assert "BroadcastHashJoin" not in plan, name
+            assert "BroadcastExchange" not in plan, name
+            assert df.count() == baseline[name], name
+        # ann_lsh keeps its two O(1) hints (query bands + query
+        # vectors) but the O(corpus) neighbor-vector table must
+        # shuffle — so exactly 2 broadcast exchanges, and at least
+        # one shuffled join
+        ann_plan = _plan(similarity.ann_lsh(spark, SF_DIR))
+        assert "CartesianProduct" not in ann_plan
+        assert ann_plan.count("BroadcastExchange") <= 2
+        assert (
+            "SortMergeJoin" in ann_plan or "ShuffledHashJoin" in ann_plan
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
 def test_extraction_has_no_shuffle(spark):
     """The no-pre-shuffle design: extract_pages without the opt-in
     repartition must contain NO Exchange — raw html bytes never move."""

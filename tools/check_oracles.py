@@ -66,9 +66,12 @@ def main():
 
     qs, os_ = ENTRY.queries(), ENTRY.oracle_sql()
     failed = []
+    from docwire_spark.ops.common import release_persisted
+
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        release_persisted()  # free tables cached by the previous query
         t0 = time.time()
         try:
             df = fn(spark, sf_dir)
