@@ -14,13 +14,21 @@ Layers implemented:
   filename + payload), each body/attachment re-entering the
   extraction chain through the back-channel
 
-The permute table below was recovered from the reference fixture by
-known-plaintext analysis against the golden outputs plus the
-structural redundancy of the format (page maps, BTH records, FILETIME
-ranges); it matches the table published in MS-PST §5.1.  Entries
-never observed in the fixture remain None — a consuming read that
-lands on one raises, so unsupported bytes surface as per-row errors
-instead of silent corruption.
+The NDB_CRYPT_PERMUTE table: round 2 recovered ~200 decode entries
+from the reference fixture by known-plaintext analysis; round 3
+completed the table from the public MS-PST specification §5.1
+("Permutative Encoding", the mpbbCrypt constant, reproduced in every
+open PST implementation).  Cross-validation: 199 of the 200 recovered
+entries agree with the spec constant; the one disagreement (cipher
+byte 0x7B, recovered from weaker structural evidence, off by a single
+bit) is corrected by the spec table, and both 1.pst goldens remain
+byte-identical.  Decryption is a single ``bytes.translate`` — no
+per-byte Python.
+
+Both PST generations are handled: Unicode (wVer >= 23; 64-bit BIDs/
+IBs) and ANSI (wVer 14/15; 32-bit BIDs/IBs, shifted header/ROOT
+offsets, narrower BTree/XBLOCK/SL-SI entry layouts per MS-PST §2).
+The LTP and messaging layers are format-identical across generations.
 """
 
 from __future__ import annotations
@@ -32,24 +40,34 @@ from docwire_spark.kernel import events as E
 
 MAGIC = b"!BDN"
 
-PERMUTE_D = [
-    0x47, 0xf1, 0xb4, 0xe6, 0x0b, 0x6a, 0x72, 0x48, 0x85, 0x4e, 0x9e, 0xeb, 0xe2, 0xf8, 0x94, 0x53,
-    0xe0, 0xbb, 0xa0, 0x02, 0xe8, 0x5a, 0x09, 0xab, 0xdb, 0xe3, 0xba, 0xc6, 0x7c, 0xc3, 0x10, 0xdd,
-    0x39, 0x05, 0x96, 0x30, 0xf5, 0x37, 0x60, 0x82, 0x8c, 0xc9, 0x13, 0x4a, 0x6b, 0x1d, 0xf3, 0xfb,
-    0x8f, 0x26, 0x97, 0xca, 0x91, 0x17, 0x01, 0xc4, 0x32, 0x2d, 0x6e, 0x31, 0x95, 0xff, 0xd9, 0x23,
-    None, 0x00, 0x5e, 0x79, 0xdc, 0x44, 0x3b, 0x1a, 0x28, 0xc5, 0x61, 0x57, 0x20, 0x90, 0x3d, None,
-    None, 0x43, None, 0x67, 0xd2, 0x46, 0x42, 0x76, 0xc0, 0x6d, 0x5b, 0x7e, 0xb2, 0x0f, None, 0x29,
-    0x3c, None, 0x03, 0x54, 0x0d, None, 0x5d, None, None, None, None, 0x62, None, None, 0x06, None,
-    0x69, 0x5c, None, None, 0x14, None, None, 0x66, 0x75, None, None, 0xe1, 0x45, 0x21, 0x70, 0x0c,
-    0x87, 0x9f, 0x74, 0xa4, 0x22, 0x4c, 0x6f, 0xbf, 0x1f, 0x56, 0xaa, 0x2e, 0xb3, 0x78, 0x33, 0x50,
-    None, None, 0x92, 0xbc, None, 0x19, 0x1c, 0xa7, 0x63, None, 0x1e, 0x4d, 0x3e, 0x4b, None, 0x9b,
-    0x4f, None, None, 0xee, None, 0x3a, 0xb5, 0x59, 0x04, 0xea, 0x40, 0x55, 0x25, None, None, 0x7a,
-    None, 0x38, 0x68, 0x52, 0x7b, None, 0x27, None, 0xd7, None, None, 0x07, None, 0xcc, 0x8e, 0x5f,
-    None, 0x35, 0x9c, 0x84, 0x2b, None, None, 0x77, 0x34, 0x49, 0xb6, 0x12, 0x0a, None, 0x71, None,
-    None, None, 0x18, 0x41, 0x7d, None, 0xd8, 0x58, 0x2c, None, 0xfe, 0x24, None, None, 0xb8, 0x36,
-    0xc8, None, 0x80, 0xa6, 0x99, 0x98, None, 0x2f, 0x0e, 0x81, 0x65, 0x73, 0xe4, 0xc2, 0xa2, None,
-    None, None, 0x11, 0xd0, 0x08, None, 0x2a, 0xf2, None, 0x9a, 0x64, 0x3f, None, 0x6c, None, 0xec,
+#: MS-PST §5.1 mpbbCrypt, encode direction (plain -> cipher).
+PERMUTE_E = [
+    0x41, 0x36, 0x13, 0x62, 0xa8, 0x21, 0x6e, 0xbb, 0xf4, 0x16, 0xcc, 0x04, 0x7f, 0x64, 0xe8, 0x5d,
+    0x1e, 0xf2, 0xcb, 0x2a, 0x74, 0xc5, 0x5e, 0x35, 0xd2, 0x95, 0x47, 0x9e, 0x96, 0x2d, 0x9a, 0x88,
+    0x4c, 0x7d, 0x84, 0x3f, 0xdb, 0xac, 0x31, 0xb6, 0x48, 0x5f, 0xf6, 0xc4, 0xd8, 0x39, 0x8b, 0xe7,
+    0x23, 0x3b, 0x38, 0x8e, 0xc8, 0xc1, 0xdf, 0x25, 0xb1, 0x20, 0xa5, 0x46, 0x60, 0x4e, 0x9c, 0xfb,
+    0xaa, 0xd3, 0x56, 0x51, 0x45, 0x7c, 0x55, 0x00, 0x07, 0xc9, 0x2b, 0x9d, 0x85, 0x9b, 0x09, 0xa0,
+    0x8f, 0xad, 0xb3, 0x0f, 0x63, 0xab, 0x89, 0x4b, 0xd7, 0xa7, 0x15, 0x5a, 0x71, 0x66, 0x42, 0xbf,
+    0x26, 0x4a, 0x6b, 0x98, 0xfa, 0xea, 0x77, 0x53, 0xb2, 0x70, 0x05, 0x2c, 0xfd, 0x59, 0x3a, 0x86,
+    0x7e, 0xce, 0x06, 0xeb, 0x82, 0x78, 0x57, 0xc7, 0x8d, 0x43, 0xaf, 0xb4, 0x1c, 0xd4, 0x5b, 0xcd,
+    0xe2, 0xe9, 0x27, 0x4f, 0xc3, 0x08, 0x72, 0x80, 0xcf, 0xb0, 0xef, 0xf5, 0x28, 0x6d, 0xbe, 0x30,
+    0x4d, 0x34, 0x92, 0xd5, 0x0e, 0x3c, 0x22, 0x32, 0xe5, 0xe4, 0xf9, 0x9f, 0xc2, 0xd1, 0x0a, 0x81,
+    0x12, 0xe1, 0xee, 0x91, 0x83, 0x76, 0xe3, 0x97, 0xe6, 0x61, 0x8a, 0x17, 0x79, 0xa4, 0xb7, 0xdc,
+    0x90, 0x7a, 0x5c, 0x8c, 0x02, 0xa6, 0xca, 0x69, 0xde, 0x50, 0x1a, 0x11, 0x93, 0xb9, 0x52, 0x87,
+    0x58, 0xfc, 0xed, 0x1d, 0x37, 0x49, 0x1b, 0x6a, 0xe0, 0x29, 0x33, 0x99, 0xbd, 0x6c, 0xd9, 0x94,
+    0xf3, 0x40, 0x54, 0x6f, 0xf0, 0xc6, 0x73, 0xb8, 0xd6, 0x3e, 0x65, 0x18, 0x44, 0x1f, 0xdd, 0x67,
+    0x10, 0xf1, 0x0c, 0x19, 0xec, 0xae, 0x03, 0xa1, 0x14, 0x7b, 0xa9, 0x0b, 0xff, 0xf8, 0xa3, 0xc0,
+    0xa2, 0x01, 0xf7, 0x2e, 0xbc, 0x24, 0x68, 0x75, 0x0d, 0xfe, 0xba, 0x2f, 0xb5, 0xd0, 0xda, 0x3d,
 ]
+
+#: Decode direction (cipher -> plain) — the inverse permutation.
+PERMUTE_D = [0] * 256
+for _p, _c in enumerate(PERMUTE_E):
+    PERMUTE_D[_c] = _p
+
+_DECODE_TR = bytes(PERMUTE_D)
+_ENCODE_TR = bytes(PERMUTE_E)
+
 
 
 class PstError(ValueError):
@@ -97,17 +115,27 @@ class Pst:
     def __init__(self, data: bytes):
         if data[:4] != MAGIC:
             raise PstError("not a PST (missing !BDN magic)")
-        if len(data) < 564:
+        wVer = struct.unpack_from("<H", data, 10)[0] if len(data) >= 12 \
+            else 0
+        self.ansi = wVer in (14, 15)
+        if not self.ansi and wVer < 23:
+            raise PstError(f"unknown PST version {wVer}")
+        if len(data) < (512 if self.ansi else 564):
             raise PstError("truncated PST header")
-        wVer = struct.unpack_from("<H", data, 10)[0]
-        if wVer < 23:
-            raise PstError("ANSI PST not supported (wVer < 23)")
         self.data = data
-        self.crypt = data[0x201]
         self.nbt = {}
         self.bbt = {}
-        _, ibNBT = struct.unpack_from("<QQ", data, 216)
-        _, ibBBT = struct.unpack_from("<QQ", data, 232)
+        if self.ansi:
+            # MS-PST §2.2.2.6: ANSI HEADER — ROOT at 164, BREFs are
+            # (bid u32, ib u32): BREFNBT at 184 (ib at 188), BREFBBT
+            # at 192 (ib at 196); bCryptMethod at 461
+            self.crypt = data[461]
+            ibNBT = struct.unpack_from("<I", data, 188)[0]
+            ibBBT = struct.unpack_from("<I", data, 196)[0]
+        else:
+            self.crypt = data[0x201]
+            _, ibNBT = struct.unpack_from("<QQ", data, 216)
+            _, ibBBT = struct.unpack_from("<QQ", data, 232)
         self._read_btree(ibNBT, True)
         self._read_btree(ibBBT, False)
         self._sub_cache = {}
@@ -118,20 +146,34 @@ class Pst:
         page = self.data[ib:ib + 512]
         if len(page) < 512:
             raise PstError("truncated BTree page")
-        cEnt, _, cbEnt, cLevel = page[488], page[489], page[490], page[491]
-        if cbEnt == 0 or cEnt * cbEnt > 488:
+        # BTPAGE metadata: Unicode at 488 (rgentries 488 bytes), ANSI
+        # at 496 (rgentries 496 bytes)
+        meta = 496 if self.ansi else 488
+        cEnt, _, cbEnt, cLevel = (
+            page[meta], page[meta + 1], page[meta + 2], page[meta + 3]
+        )
+        if cbEnt == 0 or cEnt * cbEnt > meta:
             raise PstError("bad BTree page geometry")
         for k in range(cEnt):
             e = page[k * cbEnt:(k + 1) * cbEnt]
             if cLevel > 0:
-                _, ib2 = struct.unpack_from("<QQ", e, 8)
+                if self.ansi:   # BTENTRY: btkey u32, BREF(bid u32, ib u32)
+                    ib2 = struct.unpack_from("<I", e, 8)[0]
+                else:           # btkey u64, BREF(bid u64, ib u64)
+                    ib2 = struct.unpack_from("<Q", e, 16)[0]
                 self._read_btree(ib2, is_nbt, depth + 1)
             elif is_nbt:
-                nid, bd, bs, _par = struct.unpack_from("<QQQI", e, 0)
+                if self.ansi:   # NBTENTRY: nid/bidData/bidSub/nidParent u32
+                    nid, bd, bs, _par = struct.unpack_from("<IIII", e, 0)
+                else:
+                    nid, bd, bs, _par = struct.unpack_from("<QQQI", e, 0)
                 self.nbt[nid & 0xFFFFFFFF] = (bd, bs)
             else:
-                bid, ib2 = struct.unpack_from("<QQ", e, 0)
-                cb, _ = struct.unpack_from("<HH", e, 16)
+                if self.ansi:   # BBTENTRY: BREF(bid u32, ib u32), cb, cRef
+                    bid, ib2, cb = struct.unpack_from("<IIH", e, 0)
+                else:
+                    bid, ib2 = struct.unpack_from("<QQ", e, 0)
+                    cb = struct.unpack_from("<H", e, 16)[0]
                 self.bbt[bid] = (ib2, cb)
 
     def block(self, bid):
@@ -145,15 +187,7 @@ class Pst:
             return _Blk(raw, frozenset(), bid)
         if self.crypt != 1:
             raise PstError(f"unsupported crypt method {self.crypt}")
-        out = bytearray(len(raw))
-        holes = set()
-        for i, c in enumerate(raw):
-            p = PERMUTE_D[c]
-            if p is None:
-                holes.add(i)
-            else:
-                out[i] = p
-        return _Blk(bytes(out), frozenset(holes), bid)
+        return _Blk(raw.translate(_DECODE_TR), frozenset(), bid)
 
     def data_blocks(self, bid, depth=0):
         if depth > 4:
@@ -167,7 +201,9 @@ class Pst:
             raise PstError(f"expected XBLOCK in data tree of {bid:#x}")
         out = []
         for k in range(blk.u16(2)):
-            out.extend(self.data_blocks(blk.u64(8 + 8 * k), depth + 1))
+            # XBLOCK rgbid at 8: u64 stride in Unicode, u32 in ANSI
+            child = blk.u32(8 + 4 * k) if self.ansi else blk.u64(8 + 8 * k)
+            out.extend(self.data_blocks(child, depth + 1))
         return out
 
     def data_bytes(self, bid):
@@ -192,13 +228,23 @@ class Pst:
                 raise PstError("expected SL/SI block")
             cEnt = blk.u16(2)
             if blk.u8(1) == 0:
-                for k in range(cEnt):
-                    nid = blk.u64(8 + 24 * k) & 0xFFFFFFFF
-                    out[nid] = (blk.u64(8 + 24 * k + 8),
-                                blk.u64(8 + 24 * k + 16))
+                if self.ansi:   # SLENTRY u32 x3 at 4 (no dwPadding)
+                    for k in range(cEnt):
+                        nid = blk.u32(4 + 12 * k)
+                        out[nid] = (blk.u32(4 + 12 * k + 4),
+                                    blk.u32(4 + 12 * k + 8))
+                else:           # SLENTRY u64 x3 at 8
+                    for k in range(cEnt):
+                        nid = blk.u64(8 + 24 * k) & 0xFFFFFFFF
+                        out[nid] = (blk.u64(8 + 24 * k + 8),
+                                    blk.u64(8 + 24 * k + 16))
             else:
-                for k in range(cEnt):
-                    walk(blk.u64(8 + 16 * k + 8), depth + 1)
+                if self.ansi:   # SIENTRY (nid u32, bid u32) at 4
+                    for k in range(cEnt):
+                        walk(blk.u32(4 + 8 * k + 4), depth + 1)
+                else:           # SIENTRY (nid u64, bid u64) at 8
+                    for k in range(cEnt):
+                        walk(blk.u64(8 + 16 * k + 8), depth + 1)
 
         walk(bid_sub)
         self._sub_cache[bid_sub] = out
@@ -376,20 +422,23 @@ def _walk_folder(pst, nid, depth, events, parse_child,
             continue
         bd, bs = pst.nbt[msg]
         pc = PC(pst, bd, bs)
+        ctime = pc.get(PR_CREATION_TIME)
+        if mail_min_creation_time is not None and (
+            ctime is None or ctime < mail_min_creation_time
+        ):
+            # standard_filter::filterByMailMinCreationTime skips the
+            # whole message — body, attachments AND close_mail
+            # (reference pst_parser.cpp: `continue` on skip).  Checked
+            # before the body branch so a body-less message cannot
+            # bypass the filter (ADVICE r2).
+            continue
         html = pc.get(PR_HTML)
-        if html is not None:
+        opened_mail = html is not None
+        if opened_mail:
             # prefix-coded subjects keep their \x01\x01 control
             # prefix: the reference golden contains it verbatim
             # (libpff returns the stored value unmodified)
             subject = pc.get(PR_SUBJECT) or ""
-            ctime = pc.get(PR_CREATION_TIME)
-            if mail_min_creation_time is not None and (
-                ctime is None or ctime < mail_min_creation_time
-            ):
-                # standard_filter::filterByMailMinCreationTime skips
-                # the whole message — body, attachments AND close_mail
-                # (reference pst_parser.cpp: `continue` on skip)
-                continue
             events.append((E.MAIL, (subject, ctime, depth)))
             events.append((E.MAIL_BODY, None))
             events.extend(parse_child(bytes(html), "text/html"))
@@ -406,7 +455,8 @@ def _walk_folder(pst, nid, depth, events, parse_child,
                 if isinstance(data, (bytes, bytearray)):
                     events.extend(parse_child(bytes(data), None))
                 events.append((E.CLOSE_ATTACHMENT, None))
-        events.append((E.CLOSE_MAIL, None))
+        if opened_mail:
+            events.append((E.CLOSE_MAIL, None))
 
 
 def pst_to_events(data: bytes, parse_child, mail_min_creation_time=None):
