@@ -3,34 +3,44 @@ metadata extracted inside Arrow-batched ``mapInPandas``.
 
 The container has no image/audio codecs, so the *decode* step is a
 clearly-marked stub (``decode_image``/``decode_audio`` raise
-``NotImplementedError``); the deterministic *header parse* is real and
-exercises the full Spark plumbing — binary Arrow columns in, typed
-struct-ish columns out, batch-shaped pandas processing, no per-row
-Python dispatch at the Spark layer.
+``NotImplementedError``); the *header parse* is REAL (round-3): the
+media table synthesizes genuine PNG/JPEG/GIF/BMP/WEBP(VP8|VP8L|VP8X)/
+WAV container headers around the document payload, and
+``kernel.media_headers`` reads width/height/duration back out of the
+bytes with pure struct parsing — binary Arrow columns in, typed
+columns out, no per-row Python dispatch at the Spark layer.
 
-For the oracle, the synthetic media table derives its blobs from
-``documents.text`` (UTF-8 bytes), so the header fields are
-reproducible in pure SQL (`ascii`/`sha256`/`octet_length`).
+The header fields are deterministic functions of ``doc_id`` (that is
+how the builders size them), so the DuckDB oracle reconstructs the
+parsed values analytically — the parse is verified end-to-end through
+real binary headers.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.types import (
-    LongType, StringType, StructField, StructType,
+    BinaryType, LongType, StringType, StructField, StructType,
 )
 
+from docwire_spark.kernel import media_headers as MH
 from docwire_spark.ops.common import load
 
 META_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),
-        StructField("kind", StringType()),
+        StructField("fmt", StringType()),
         StructField("byte_len", LongType()),
         StructField("width", LongType()),
         StructField("height", LongType()),
         StructField("duration_ms", LongType()),
-        StructField("sha256", StringType()),
+    ]
+)
+
+BLOB_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("blob", BinaryType()),
     ]
 )
 
@@ -47,27 +57,36 @@ def decode_audio(blob: bytes):  # pragma: no cover - stub by design
     raise NotImplementedError("audio codecs not installed in this environment")
 
 
-def parse_media_header(blob: bytes, kind: str) -> dict:
-    """Deterministic fake header parse (stands in for reading e.g. the
-    PNG IHDR / WAV fmt chunk): derives dimensions from the first
-    payload bytes."""
-    import hashlib
+def _doc_dims(doc_id: int):
+    return 16 + (doc_id * 7) % 1000, 16 + (doc_id * 13) % 800
 
-    b0 = blob[0] if blob else 0
-    b1 = blob[1] if len(blob) > 1 else 0
-    out = {
-        "byte_len": len(blob),
-        "width": None,
-        "height": None,
-        "duration_ms": None,
-        "sha256": hashlib.sha256(blob).hexdigest(),
-    }
-    if kind in ("image", "video"):
-        out["width"] = 16 + (b0 % 16) * 8
-        out["height"] = 16 + (b1 % 16) * 8
-    if kind in ("audio", "video"):
-        out["duration_ms"] = len(blob) * 3
-    return out
+
+_IMAGE_BUILDERS = (MH.build_png, MH.build_jpeg, MH.build_gif, MH.build_bmp)
+_WEBP_BUILDERS = (MH.build_webp_vp8, MH.build_webp_vp8l, MH.build_webp_vp8x)
+
+
+def build_media_blob(doc_id: int, payload: bytes) -> bytes:
+    """Deterministic real-container blob for a document: doc_id % 3
+    cycles image (png/jpeg/gif/bmp by doc_id//3), wav audio, and the
+    three WEBP chunk variants."""
+    w, h = _doc_dims(doc_id)
+    k = doc_id % 3
+    if k == 0:
+        return _IMAGE_BUILDERS[(doc_id // 3) % 4](w, h, payload)
+    if k == 1:
+        return MH.build_wav(payload)
+    return _WEBP_BUILDERS[(doc_id // 3) % 3](w, h, payload)
+
+
+def _blob_batches(iterator):
+    import pandas as pd
+
+    for pdf in iterator:
+        blobs = [
+            build_media_blob(int(d), t.encode("utf-8"))
+            for d, t in zip(pdf["doc_id"], pdf["text"])
+        ]
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
 
 
 def _media_batches(iterator):
@@ -75,58 +94,64 @@ def _media_batches(iterator):
 
     for pdf in iterator:
         rows = {k.name: [] for k in META_SCHEMA.fields}
-        for doc_id, kind, blob in zip(pdf["doc_id"], pdf["kind"], pdf["blob"]):
-            blob = bytes(blob) if blob is not None else b""
-            hdr = parse_media_header(blob, kind)
+        for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+            hdr = MH.parse_media_header(
+                bytes(blob) if blob is not None else b""
+            )
             rows["doc_id"].append(doc_id)
-            rows["kind"].append(kind)
+            rows["fmt"].append(hdr["format"])
             rows["byte_len"].append(hdr["byte_len"])
             rows["width"].append(hdr["width"])
             rows["height"].append(hdr["height"])
             rows["duration_ms"].append(hdr["duration_ms"])
-            rows["sha256"].append(hdr["sha256"])
         yield pd.DataFrame(rows)
 
 
 def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Synthesize the media table: blob = UTF-8 bytes of the document
-    text, kind cycling image/audio/video by doc_id."""
-    docs = load(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        F.when(F.col("doc_id") % 3 == 0, F.lit("image"))
-        .when(F.col("doc_id") % 3 == 1, F.lit("audio"))
-        .otherwise(F.lit("video"))
-        .alias("kind"),
-        F.encode("text", "UTF-8").alias("blob"),
-    )
+    """The media fixture table: real container headers (built by
+    kernel.media_headers) wrapping the document text as payload."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.mapInPandas(_blob_batches, BLOB_SCHEMA)
 
 
 def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return media_table(spark, sf_dir).mapInPandas(_media_batches, META_SCHEMA)
+    """Binary blob column -> parsed container metadata, Arrow-batched."""
+    return media_table(spark, sf_dir).mapInPandas(
+        _media_batches, META_SCHEMA
+    )
 
 
-MULTIMODAL_META_SQL = """
+# header sizes the builders emit (verified by tests); the oracle uses
+# them to reconstruct byte_len analytically
+_HDR = {"png": 33, "jpeg": 21, "gif": 13, "bmp": 54,
+        "vp8": 30, "vp8l": 25, "vp8x": 30, "wav": 44}
+
+MULTIMODAL_META_SQL = f"""
 WITH m AS (
-  SELECT doc_id,
-         CASE WHEN doc_id % 3 = 0 THEN 'image'
-              WHEN doc_id % 3 = 1 THEN 'audio'
-              ELSE 'video' END AS kind,
-         text, encode(text) AS blob
+  SELECT doc_id, octet_length(encode(text)) AS n,
+         CASE WHEN doc_id % 3 = 1 THEN 'wav'
+              WHEN doc_id % 3 = 0 THEN
+                ['png','jpeg','gif','bmp'][CAST((doc_id // 3) % 4 AS INT) + 1]
+              ELSE 'webp' END AS fmt,
+         CASE WHEN doc_id % 3 = 2 THEN
+                ['vp8','vp8l','vp8x'][CAST((doc_id // 3) % 3 AS INT) + 1]
+              END AS variant
   FROM documents
 )
-SELECT doc_id, kind,
-       CAST(octet_length(blob) AS BIGINT) AS byte_len,
-       CASE WHEN kind IN ('image', 'video')
-            THEN CAST(16 + (ascii(substr(text, 1, 1)) % 16) * 8 AS BIGINT)
-            END AS width,
-       CASE WHEN kind IN ('image', 'video')
-            THEN CAST(16 + (ascii(substr(text, 2, 1)) % 16) * 8 AS BIGINT)
-            END AS height,
-       CASE WHEN kind IN ('audio', 'video')
-            THEN CAST(octet_length(blob) * 3 AS BIGINT)
-            END AS duration_ms,
-       sha256(text) AS sha256
+SELECT doc_id, fmt,
+       CAST(n + CASE WHEN fmt = 'png' THEN {_HDR['png']}
+                     WHEN fmt = 'jpeg' THEN {_HDR['jpeg']}
+                     WHEN fmt = 'gif' THEN {_HDR['gif']}
+                     WHEN fmt = 'bmp' THEN {_HDR['bmp']}
+                     WHEN fmt = 'wav' THEN {_HDR['wav']}
+                     WHEN variant = 'vp8l' THEN {_HDR['vp8l']}
+                     ELSE {_HDR['vp8']} END AS BIGINT) AS byte_len,
+       CASE WHEN fmt <> 'wav'
+            THEN CAST(16 + (doc_id * 7) % 1000 AS BIGINT) END AS width,
+       CASE WHEN fmt <> 'wav'
+            THEN CAST(16 + (doc_id * 13) % 800 AS BIGINT) END AS height,
+       CASE WHEN fmt = 'wav'
+            THEN CAST(n * 1000 // 16000 AS BIGINT) END AS duration_ms
 FROM m
 """
 
@@ -183,13 +208,16 @@ def _frame_batches(iterator):
 
 
 def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame sampling over the video slice of the media table: binary
-    column in, N frame rows out per video (the one-to-many mapInPandas
-    shape video/audio feature extraction needs)."""
-    videos = media_table(spark, sf_dir).filter(F.col("kind") == "video")
-    return videos.select("doc_id", "blob").mapInPandas(
-        _frame_batches, FRAMES_SCHEMA
+    """Frame sampling over the video slice (doc_id % 3 == 2) of the
+    corpus: binary column in, N frame rows out per video (the
+    one-to-many mapInPandas shape video/audio feature extraction
+    needs).  Frames sample the raw payload stream — the container
+    header belongs to multimodal_meta."""
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 2)
+    videos = docs.select(
+        "doc_id", F.encode("text", "UTF-8").alias("blob")
     )
+    return videos.mapInPandas(_frame_batches, FRAMES_SCHEMA)
 
 
 MULTIMODAL_FRAMES_SQL = f"""

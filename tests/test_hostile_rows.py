@@ -25,17 +25,16 @@ def test_hostile_rows_never_dropped(spark):
 
 
 def test_multimodal_stub_contract():
-    from docwire_spark.ops.multimodal import (
-        decode_image, parse_media_header,
-    )
+    from docwire_spark.kernel.media_headers import parse_media_header
+    from docwire_spark.ops.multimodal import decode_image
     import pytest
 
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG")
-    hdr = parse_media_header(b"ab", "image")
-    assert hdr["width"] == 16 + (ord("a") % 16) * 8
-    assert hdr["duration_ms"] is None
-    assert parse_media_header(b"ab", "audio")["duration_ms"] == 6
+    # unknown blobs degrade to format=None, never raise
+    hdr = parse_media_header(b"ab")
+    assert hdr["format"] is None and hdr["byte_len"] == 2
+    assert hdr["width"] is None and hdr["duration_ms"] is None
 
 
 def test_multi_megabyte_rows_extract(spark):
