@@ -18,6 +18,12 @@ _MAIL_MIN_CTIME: contextvars.ContextVar = contextvars.ContextVar(
     "mail_min_ctime", default=None
 )
 
+#: active event-stream standard filters (standard_filter.h family);
+#: context-scoped so archive entries / nested extractions inherit them
+_STD_FILTERS: contextvars.ContextVar = contextvars.ContextVar(
+    "std_filters", default=None
+)
+
 from docwire_spark.kernel import events as E
 from docwire_spark.kernel.charset import ensure_html_utf8
 from docwire_spark.kernel.html_extract import html_to_events
@@ -96,6 +102,10 @@ def extract(
     want_main_content: bool = False,
     exports: tuple = (),
     mail_min_creation_time: int | None = None,
+    folder_names: list | None = None,
+    attachment_types: list | None = None,
+    mail_max_creation_time: int | None = None,
+    max_node_number: int | None = None,
     _depth: int = 0,
 ) -> ExtractResult:
     """``exports`` ⊆ {'html', 'meta_text', 'csv'} adds the optional
@@ -103,10 +113,25 @@ def extract(
     csv_writer) alongside the default plain-text output.
     ``mail_min_creation_time`` applies the reference's
     standard_filter::filterByMailMinCreationTime to mailbox formats
-    (messages created before the unix timestamp are skipped)."""
+    (messages created before the unix timestamp are skipped);
+    ``folder_names`` / ``attachment_types`` /
+    ``mail_max_creation_time`` / ``max_node_number`` apply the rest of
+    the standard_filter family (standard_filter.h:38-62) as
+    event-stream transforms — see kernel/standard_filter.py."""
     res = ExtractResult(url=url)
     _tok = _MAIL_MIN_CTIME.set(mail_min_creation_time) \
         if mail_min_creation_time is not None else None
+    filters = {
+        k: v
+        for k, v in (
+            ("folder_names", folder_names),
+            ("attachment_types", attachment_types),
+            ("mail_max_creation_time", mail_max_creation_time),
+            ("max_node_number", max_node_number),
+        )
+        if v is not None
+    }
+    _ftok = _STD_FILTERS.set(filters) if filters else None
     try:
         mime, conf = detect_mime(data[:SNIFF_PREFIX_BYTES], url)
         res.mime = mime
@@ -165,11 +190,20 @@ def extract(
     finally:
         if _tok is not None:
             _MAIL_MIN_CTIME.reset(_tok)
+        if _ftok is not None:
+            _STD_FILTERS.reset(_ftok)
     return res
 
 
 def _finish(res, events, meta, want_main_content, exports) -> ExtractResult:
     try:
+        filters = _STD_FILTERS.get()
+        if filters:
+            from docwire_spark.kernel.standard_filter import (
+                apply_standard_filters,
+            )
+
+            events = apply_standard_filters(events, **filters)
         res.meta = meta or {}
         res.n_events = sum(
             1 for k, _ in events if k not in (E.DOCUMENT, E.CLOSE_DOCUMENT)
@@ -224,10 +258,26 @@ def _iwork_app(data: bytes) -> str | None:
         return None
 
 
+#: iWork mimes (vnd.apple canonical + the x-iwork-* aliases the
+#: vendored mime-db also lists) -> index-file app name
+_IWORK_MIMES = {
+    "application/vnd.apple.pages": "pages",
+    "application/x-iwork-pages-sffpages": "pages",
+    "application/vnd.apple.numbers": "numbers",
+    "application/x-iwork-numbers-sffnumbers": "numbers",
+    "application/vnd.apple.keynote": "key",
+    "application/x-iwork-keynote-sffkey": "key",
+}
+
+
 def _parse_by_mime(data: bytes, mime: str):
     if mime in HTML_MIMES:
         text = ensure_html_utf8(data)
         return html_to_events(text)
+    if mime in _IWORK_MIMES:
+        from docwire_spark.kernel.iwork_extract import iwork_to_events
+
+        return iwork_to_events(data, _IWORK_MIMES[mime])
     if mime in PDF_MIMES:
         from docwire_spark.kernel.pdf import pdf_to_events
 

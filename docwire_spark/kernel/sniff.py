@@ -19,6 +19,10 @@ from __future__ import annotations
 
 NONE, LOW, MEDIUM, HIGH, VERY_HIGH, HIGHEST = range(6)
 
+#: curated entries: formats the vendored mime-db lacks (dcm) plus the
+#: reference-pipeline mainstays, kept for direct importers/tests.  For
+#: extensions also present in the vendored db, the db rows win (the
+#: reference consults only its generated table).
 EXTENSION_MIME = {
     "html": "text/html",
     "htm": "text/html",
@@ -128,12 +132,25 @@ _OOXML_MARKERS = [
 ]
 
 
+from docwire_spark.kernel.mime_db import MIME_DB_PAIRS
+
+#: extension -> [mime, ...] multimap: the full vendored jshttp mime-db
+#: table (1284 rows — §2.2 parity with
+#: content_type_by_file_extension.cpp:23-1317), plus curated entries
+#: for extensions the db lacks.
+EXT_TO_MIMES: dict = {}
+for _ext, _mime in MIME_DB_PAIRS:
+    EXT_TO_MIMES.setdefault(_ext, []).append(_mime)
+for _ext, _mime in EXTENSION_MIME.items():
+    EXT_TO_MIMES.setdefault(_ext, [_mime])
+
 #: reverse map mime -> canonical extension (reference
-#: content_type_by_file_extension.cpp:1341-1348 ``to_extension``).
-#: Built from EXTENSION_MIME with the FIRST extension listed per mime
-#: winning (the table lists canonical forms first: html before htm,
-#: jpg before jpeg), mirroring the reference's curated reverse table.
+#: content_type_by_file_extension.cpp:1341-1348 ``to_extension``):
+#: FIRST occurrence in the vendored list wins (try_emplace loop),
+#: curated additions filling the gaps.
 _MIME_EXTENSION: dict = {}
+for _ext, _mime in MIME_DB_PAIRS:
+    _MIME_EXTENSION.setdefault(_mime, _ext)
 for _ext, _mime in EXTENSION_MIME.items():
     _MIME_EXTENSION.setdefault(_mime, _ext)
 
@@ -164,16 +181,23 @@ def detect_mime(data_prefix: bytes, url: str = "") -> tuple:
         if mime and mimes.get(mime, -1) < conf:
             mimes[mime] = conf
 
-    # 1. by extension (HIGH; .doc/.xls/.ppt only MEDIUM — ambiguous
-    # legacy extensions, content sniffing may override;
-    # content_type_by_file_extension.cpp:1319-1337)
+    # 1. by extension: every mime the multimap lists for the
+    # extension at HIGH, except the two ambiguous legacy office mimes
+    # at MEDIUM (by_file_extension.cpp:1332-1338 — content sniffing
+    # may override those)
     if url:
         path = url.split("?", 1)[0].split("#", 1)[0]
         seg = path.rstrip("/").rsplit("/", 1)[-1]
         if "." in seg:
             ext = seg.rsplit(".", 1)[-1].lower()
-            conf = MEDIUM if ext in ("doc", "xls", "ppt") else HIGH
-            add(EXTENSION_MIME.get(ext), conf)
+            for m in EXT_TO_MIMES.get(ext, ()):
+                conf = (
+                    MEDIUM
+                    if m in ("application/msword",
+                             "application/vnd.ms-excel")
+                    else HIGH
+                )
+                add(m, conf)
 
     # 2. by signature (VERY_HIGH), skipped if already >= HIGH
     if not mimes or max(mimes.values()) < HIGH:
