@@ -34,10 +34,25 @@ ARCHIVE_MIMES = frozenset(
 
 MAX_DEPTH = 8  # nested-archive recursion cap (zip-bomb guard)
 MAX_ENTRIES = 10_000
+#: per-member decompressed-size cap (bomb guard, ADVICE r2) — matches
+#: rar5.MAX_MEMBER_BYTES; oversized members raise, surfacing as a
+#: per-row error instead of an executor OOM
+MAX_MEMBER_BYTES = 256 * 1024 * 1024
 
 
 class ArchiveError(Exception):
     pass
+
+
+def _bounded_decompress(make_decompressor, data: bytes) -> bytes:
+    """One-shot decompress with a hard output cap (gzip/bz2/xz carry
+    no trustworthy size up front): the decompressor stops at
+    max_length, so exceeding the cap is detected before the bytes
+    materialize."""
+    out = make_decompressor().decompress(data, MAX_MEMBER_BYTES + 1)
+    if len(out) > MAX_MEMBER_BYTES:
+        raise ArchiveError("decompressed member too large")
+    return out
 
 
 def iter_entries(data: bytes, mime: str, url: str = ""):
@@ -53,7 +68,16 @@ def iter_entries(data: bytes, mime: str, url: str = ""):
             n += 1
             if n > MAX_ENTRIES:
                 raise ArchiveError("too many archive entries")
-            yield info.filename, zf.read(info)
+            if info.file_size > MAX_MEMBER_BYTES:
+                raise ArchiveError(
+                    f"member too large: {info.filename}"
+                )
+            with zf.open(info) as f:
+                # declared file_size can lie: bounded read, then probe
+                payload = f.read(MAX_MEMBER_BYTES + 1)
+            if len(payload) > MAX_MEMBER_BYTES:
+                raise ArchiveError(f"member too large: {info.filename}")
+            yield info.filename, payload
     elif mime == "application/vnd.rar":
         from docwire_spark.kernel.rar5 import iter_rar5
 
@@ -72,14 +96,27 @@ def iter_entries(data: bytes, mime: str, url: str = ""):
             n += 1
             if n > MAX_ENTRIES:
                 raise ArchiveError("too many archive entries")
+            if member.size > MAX_MEMBER_BYTES:
+                raise ArchiveError(f"member too large: {member.name}")
             f = tf.extractfile(member)
             yield member.name, f.read() if f else b""
     else:
-        # single-member compressors: payload keeps the stripped name
+        # single-member compressors: payload keeps the stripped name;
+        # output bounded (the container states no reliable size)
+        import functools
+        import zlib
+
         decomp = {
-            "application/gzip": gzip.decompress,
-            "application/x-bzip2": bz2.decompress,
-            "application/x-xz": lzma.decompress,
+            "application/gzip": functools.partial(
+                _bounded_decompress,
+                functools.partial(zlib.decompressobj, 31),
+            ),
+            "application/x-bzip2": functools.partial(
+                _bounded_decompress, bz2.BZ2Decompressor
+            ),
+            "application/x-xz": functools.partial(
+                _bounded_decompress, lzma.LZMADecompressor
+            ),
         }[mime]
         name = url.rsplit("/", 1)[-1]
         for suffix in (".gz", ".bz2", ".xz", ".tgz", ".tbz2", ".txz"):

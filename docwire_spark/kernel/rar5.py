@@ -26,6 +26,15 @@ class RarError(Exception):
     pass
 
 
+#: decompression-bomb guard (ADVICE r2): unp_size is an
+#: attacker-controlled vint, and the pure-Python decoder would grow
+#: ``out`` until reaching it — a few-hundred-byte crafted archive
+#: claiming a multi-GB size could OOM/CPU-spin an executor processing
+#: untrusted crawl data.  Entries above the cap raise (surfacing as a
+#: per-row error), matching the entry-count cap in archive_extract.
+MAX_MEMBER_BYTES = 256 * 1024 * 1024
+
+
 def _vint(b, i):
     r = 0
     shift = 0
@@ -135,6 +144,9 @@ class _Huff:
 
 class _Rar5Decoder:
     def __init__(self, data: bytes, unp_size: int):
+        if unp_size > MAX_MEMBER_BYTES:  # defense in depth: iter_rar5
+            # checks too, but the decoder is importable directly
+            raise RarError(f"member too large ({unp_size} bytes)")
         self.bits = _Bits(data)
         self.out = bytearray()
         self.unp_size = unp_size
@@ -407,12 +419,16 @@ def iter_rar5(data: bytes):
         htype, j = _vint(data, j)
         flags, j = _vint(data, j)
         data_size = 0
+        extra_size = 0
         if flags & 1:
-            _extra, j = _vint(data, j)
+            extra_size, j = _vint(data, j)
         if flags & 2:
             data_size, j = _vint(data, j)
         if htype == 5:  # end of archive
             break
+        if htype == 4:  # archive encryption header: everything after
+            # it is ciphertext (reference assert_not_encrypted)
+            raise RarError("encrypted RAR5 archive")
         if htype == 2 or htype == 3:  # file / service header
             fflags, j = _vint(data, j)
             unp_size, j = _vint(data, j)
@@ -425,11 +441,27 @@ def iter_rar5(data: bytes):
             _host, j = _vint(data, j)
             nlen, j = _vint(data, j)
             name = data[j:j + nlen].decode("utf-8", "replace")
+            if extra_size:
+                # extra area = last extra_size bytes of the header:
+                # records are (size vint, type vint, data); type 0x01
+                # = file encryption -> the payload is ciphertext
+                k = hdr_start + hdr_size - extra_size
+                area_end = hdr_start + hdr_size
+                while k < area_end:
+                    rec_size, k2 = _vint(data, k)
+                    rec_type, _ = _vint(data, k2)
+                    if rec_type == 0x01:
+                        raise RarError(f"encrypted RAR5 entry: {name}")
+                    k = k2 + rec_size  # size counts type + data
             payload = data[hdr_start + hdr_size:
                            hdr_start + hdr_size + data_size]
             if htype == 2 and not fflags & 1:  # skip directories
                 if comp & 0x40:  # solid flag (bit 6)
                     raise RarError("solid RAR5 not supported")
+                if unp_size > MAX_MEMBER_BYTES:
+                    raise RarError(
+                        f"member too large ({unp_size} bytes): {name}"
+                    )
                 method = (comp >> 7) & 7
                 if method == 0:
                     yield name, bytes(payload)

@@ -69,3 +69,99 @@ def test_rar4_rejected():
 
     with pytest.raises(RarError):
         list(iter_rar5(b"Rar!\x1a\x07\x00" + b"\x00" * 64))
+
+
+def test_decompression_bomb_claim_rejected():
+    """A crafted header claiming a multi-GB unp_size must raise before
+    any decode work (ADVICE r2: bomb guard for untrusted crawl data)."""
+    import struct
+    import zlib
+
+    import pytest
+
+    from docwire_spark.kernel.rar5 import MAX_MEMBER_BYTES, _Rar5Decoder
+
+    def vint(n):
+        out = b""
+        while True:
+            b = n & 0x7F
+            n >>= 7
+            out += bytes([b | (0x80 if n else 0)])
+            if not n:
+                return out
+
+    def block(htype, fields, data=b""):
+        body = vint(htype) + fields
+        hdr = vint(len(body)) + body
+        return struct.pack("<I", zlib.crc32(hdr)) + hdr + data
+
+    nm = b"bomb.bin"
+    huge = MAX_MEMBER_BYTES + 1
+    data = b"Rar!\x1a\x07\x01\x00"
+    data += block(1, vint(0) + vint(0))
+    data += block(2, vint(2) + vint(4) + vint(0) + vint(huge)
+                  + vint(0) + vint(0x80) + vint(0)  # method 1 (compressed)
+                  + vint(len(nm)) + nm, b"\x00\x00\x00\x00")
+    data += block(5, vint(0) + vint(0))
+    with pytest.raises(RarError, match="too large"):
+        list(iter_rar5(data))
+    with pytest.raises(RarError, match="too large"):
+        _Rar5Decoder(b"", huge)
+    # …and through extract() it lands in the error column, not a raise
+    r = extract(data, url="bomb.rar")
+    assert r.error is not None
+
+
+def test_encrypted_fixture_raises_rar_error():
+    """The extra-area file-encryption record (type 0x01) is detected:
+    a stored encrypted member can no longer leak ciphertext as its
+    payload (ADVICE r2)."""
+    import pytest
+
+    data = reference_fixture("test_with_password.rar")
+    with pytest.raises(RarError, match="encrypted"):
+        list(iter_rar5(data))
+    r = extract(data, url="p.rar")
+    assert r.error is not None
+
+
+def test_archive_member_caps():
+    """zip/tar/gz paths reject oversized members (declared or real)."""
+    import io
+    import tarfile
+    import zipfile
+
+    import pytest
+
+    from docwire_spark.kernel import archive_extract as A
+
+    # tar with a lying huge size field
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w") as tf:
+        info = tarfile.TarInfo("big.bin")
+        info.size = 10
+        tf.addfile(info, io.BytesIO(b"x" * 10))
+    raw = bytearray(buf.getvalue())
+    # patch the size field (octal at offset 124) to > cap
+    raw[124:136] = b"77777777777\x00"
+    with pytest.raises((A.ArchiveError, tarfile.TarError)):
+        list(A.iter_entries(bytes(raw), "application/x-tar"))
+
+    # zip truth check passes for small members
+    zbuf = io.BytesIO()
+    with zipfile.ZipFile(zbuf, "w") as zf:
+        zf.writestr("ok.txt", "hello")
+    out = list(A.iter_entries(zbuf.getvalue(), "application/zip"))
+    assert out == [("ok.txt", b"hello")]
+
+    # gz bomb: 100 KB of zeros with the cap lowered to 10 KB
+    import gzip as _gzip
+
+    bomb = _gzip.compress(b"\x00" * 100_000)
+    old = A.MAX_MEMBER_BYTES
+    A.MAX_MEMBER_BYTES = 10_000
+    try:
+        with pytest.raises(A.ArchiveError, match="too large"):
+            list(A.iter_entries(bomb, "application/gzip", url="b.gz"))
+    finally:
+        A.MAX_MEMBER_BYTES = old
