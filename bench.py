@@ -33,6 +33,7 @@ HEADLINE = [
     "extract_main_content",
     "extract_format_dispatch",
     "extract_binary_dispatch",
+    "extract_tree",
     # text analysis
     "text_token_stats",
     "text_quality",

@@ -95,3 +95,34 @@ def test_spans_offsets_accumulate():
     assert got.spans[len(single.spans):] == [
         (s + off, e + off, k) for s, e, k in single.spans
     ]
+
+
+def test_extract_tree_flattens_nested_archives():
+    """extract_tree (SURVEY §1.5 DataTree surfaced relationally):
+    parent-before-children rows with parent_url/depth lineage."""
+    import io
+    import zipfile
+
+    from docwire_spark.kernel.api import extract_tree
+
+    inner = io.BytesIO()
+    with zipfile.ZipFile(inner, "w") as z:
+        z.writestr("leaf.txt", "deep")
+    outer = io.BytesIO()
+    with zipfile.ZipFile(outer, "w") as z:
+        z.writestr("top.txt", "hello")
+        z.writestr("nest.zip", inner.getvalue())
+    rows = extract_tree(outer.getvalue(), "https://x/a.zip")
+    assert [(u, p, d, m) for u, p, d, m, _, _ in rows] == [
+        ("https://x/a.zip", None, 0, "application/zip"),
+        ("top.txt", "https://x/a.zip", 1, "text/plain"),
+        ("nest.zip", "https://x/a.zip", 1, "application/zip"),
+        ("leaf.txt", "nest.zip", 2, "text/plain"),
+    ]
+    assert rows[1][4] == len(b"hello\n\n")
+    # broken child archive -> error row, never a raise
+    broken = io.BytesIO()
+    with zipfile.ZipFile(broken, "w") as z:
+        z.writestr("bad.zip", b"PK\x03\x04not really a zip")
+    rows = extract_tree(broken.getvalue(), "b.zip")
+    assert any(err is not None for *_, err in rows)
