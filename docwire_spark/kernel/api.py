@@ -459,7 +459,10 @@ def extract_tree(data: bytes, url: str = "", max_depth: int | None = None):
     Returns [(url, parent_url, depth, mime, n_chars, error), ...] in
     parent-before-children order.  Leaf documents run the normal
     ``extract`` (n_chars = len(extracted bytes)); archive nodes carry
-    n_chars None; a failing subtree yields an error row, never raises.
+    n_chars None; mail documents (eml/pst) are extracted normally
+    (n_chars covers the full render, attachments inlined) AND their
+    attachments additionally surface as child rows via the walkers'
+    child sink; a failing subtree yields an error row, never raises.
     """
     from docwire_spark.kernel.archive_extract import (
         ARCHIVE_MIMES, MAX_DEPTH, iter_entries,
@@ -467,6 +470,7 @@ def extract_tree(data: bytes, url: str = "", max_depth: int | None = None):
 
     if max_depth is None:
         max_depth = MAX_DEPTH
+    mail_mimes = EML_MIMES | {"application/vnd.ms-outlook-pst"}
     rows = []
 
     def walk(payload, u, parent, depth):
@@ -482,6 +486,20 @@ def extract_tree(data: bytes, url: str = "", max_depth: int | None = None):
                     u, parent, depth, mime, None,
                     f"{type(exc).__name__}: {exc}",
                 )
+        elif mime in mail_mimes and depth < max_depth:
+            sink: list = []
+            token = E.CHILD_SINK.set(sink)
+            try:
+                res = extract(payload, url=u)
+            finally:
+                E.CHILD_SINK.reset(token)
+            rows.append((
+                u, parent, depth, res.mime,
+                len(res.text) if res.error is None else None,
+                res.error,
+            ))
+            for name, child in sink:
+                walk(child, name, u, depth + 1)
         else:
             res = extract(payload, url=u)
             rows.append((

@@ -51,6 +51,13 @@ def _content_bytes(part: Message, strip_cr: bool = True) -> bytes:
         payload = part.get_payload()
         if isinstance(payload, str):
             payload = payload.encode("utf-8", "surrogateescape")
+        elif (
+            isinstance(payload, list)
+            and payload
+            and isinstance(payload[0], Message)
+        ):
+            # message/rfc822 part: the payload IS the inner message
+            payload = payload[0].as_bytes()
         else:
             payload = b""
     return payload.replace(b"\r", b"") if strip_cr else payload
@@ -127,15 +134,20 @@ class _EmlWalker:
         elif maintype != "multipart":
             name = part.get_filename()
             self.events.append((E.ATTACHMENT, name))
+            payload = _content_bytes(part, strip_cr=False)
+            E.offer_child(name, payload)
             # the declared content-type travels with the back-emission
             # at very_high confidence (eml_parser.cpp:184-186), so the
-            # re-entered detector cascade keeps it
-            self.events.extend(
-                self.parse_child(
-                    _content_bytes(part, strip_cr=False),
-                    part.get_content_type(),
+            # re-entered detector cascade keeps it.  The child sink is
+            # cleared around the re-parse: a nested mail's attachments
+            # belong to ITS tree node, not this one.
+            tok = E.CHILD_SINK.set(None)
+            try:
+                self.events.extend(
+                    self.parse_child(payload, part.get_content_type())
                 )
-            )
+            finally:
+                E.CHILD_SINK.reset(tok)
             self.events.append((E.CLOSE_ATTACHMENT, None))
 
         if maintype == "multipart" and subtype == "alternative":

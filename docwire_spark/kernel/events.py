@@ -78,3 +78,20 @@ KIND_NAMES = {
 
 def ev(kind, payload=None):
     return (kind, payload)
+
+
+# -- optional child capture (extract_tree) ----------------------------------
+
+import contextvars as _contextvars
+
+#: when set (kernel/api.py:extract_tree), mail walkers offer each
+#: attachment's (name, payload) here so children surface as tree rows
+CHILD_SINK: _contextvars.ContextVar = _contextvars.ContextVar(
+    "child_sink", default=None
+)
+
+
+def offer_child(name, payload) -> None:
+    sink = CHILD_SINK.get()
+    if sink is not None:
+        sink.append((name or "", bytes(payload)))

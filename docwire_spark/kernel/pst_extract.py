@@ -453,7 +453,12 @@ def _walk_folder(pst, nid, depth, events, parse_child,
                 events.append((E.ATTACHMENT, name))
                 data = apc.get(PR_ATTACH_DATA)
                 if isinstance(data, (bytes, bytearray)):
-                    events.extend(parse_child(bytes(data), None))
+                    E.offer_child(name, data)
+                    tok = E.CHILD_SINK.set(None)
+                    try:
+                        events.extend(parse_child(bytes(data), None))
+                    finally:
+                        E.CHILD_SINK.reset(tok)
                 events.append((E.CLOSE_ATTACHMENT, None))
         if opened_mail:
             events.append((E.CLOSE_MAIL, None))

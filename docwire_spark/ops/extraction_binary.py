@@ -765,8 +765,23 @@ FROM m GROUP BY mime ORDER BY mime
 
 
 def make_nested_zip(text: str, doc_id: int) -> bytes:
-    """Two-level archive: d{id}.txt + inner{id}.zip(e{id}.txt) —
-    the recursive-DataTree fixture for extract_tree."""
+    """Two-level archive: d{id}.txt + inner{id}.zip(e{id}.txt) +
+    m{id}.eml carrying attachment a{id}.txt — the recursive-DataTree
+    fixture for extract_tree (archive AND e-mail children)."""
+    t = text.encode()
+    sid = str(doc_id).encode()
+    eml = (
+        b"From: a@b.c\r\nSubject: doc " + sid
+        + b"\r\nMIME-Version: 1.0\r\n"
+        b"Content-Type: multipart/mixed; boundary=XBOUNDARY7Q\r\n\r\n"
+        b"--XBOUNDARY7Q\r\n"
+        b"Content-Type: text/plain; charset=utf-8\r\n\r\n" + t
+        + b"\r\n--XBOUNDARY7Q\r\n"
+        b"Content-Type: text/plain; name=a" + sid + b".txt\r\n"
+        b"Content-Disposition: attachment; filename=a" + sid
+        + b".txt\r\n\r\n" + t
+        + b"\r\n--XBOUNDARY7Q--\r\n"
+    )
     inner = io.BytesIO()
     with zipfile.ZipFile(inner, "w", zipfile.ZIP_STORED) as z:
         z.writestr(zipfile.ZipInfo(f"e{doc_id}.txt", _ZIP_TS), text)
@@ -777,6 +792,7 @@ def make_nested_zip(text: str, doc_id: int) -> bytes:
             zipfile.ZipInfo(f"inner{doc_id}.zip", _ZIP_TS),
             inner.getvalue(),
         )
+        z.writestr(zipfile.ZipInfo(f"m{doc_id}.eml", _ZIP_TS), eml)
     return buf.getvalue()
 
 
@@ -850,6 +866,18 @@ SELECT doc_id, 'inner' || doc_id || '.zip', root, 1, 'application/zip',
 FROM d
 UNION ALL
 SELECT doc_id, 'e' || doc_id || '.txt', 'inner' || doc_id || '.zip', 2,
+       'text/plain', CAST(n AS BIGINT), NULL
+FROM d
+UNION ALL
+-- eml render = body + "attachment: a{id}.txt" banner + inlined
+-- attachment + final eol: 2*(n-2) + 24 + digits  (n here includes the
+-- txt +2 tail, so subtract it back out)
+SELECT doc_id, 'm' || doc_id || '.eml', root, 1, 'message/rfc822',
+       CAST(2 * (n - 2) + 24 + length(CAST(doc_id AS VARCHAR)) AS BIGINT),
+       NULL
+FROM d
+UNION ALL
+SELECT doc_id, 'a' || doc_id || '.txt', 'm' || doc_id || '.eml', 2,
        'text/plain', CAST(n AS BIGINT), NULL
 FROM d
 """

@@ -135,11 +135,57 @@ SELECT DISTINCT source AS host,
 FROM documents
 """
 
+def stream_dedup_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The native streaming-dedup scale path under the oracle gate:
+    dropDuplicates on (host, fp) keeps ONE O(1) state-store row per
+    fingerprint (RocksDB-backed on a cluster) — same survivor set as
+    the custom stateful operator, radically cheaper state.  Four
+    micro-batches force real cross-batch state lookups."""
+    from docwire_spark.streaming.dedup_stream import stream_dedup_native
+
+    docs = load(spark, sf_dir, "documents")
+    pages = docs.select(
+        F.concat(F.lit("https://"), F.col("source"), F.lit("/d/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        F.encode(
+            F.expr(
+                "array_join(slice(regexp_extract_all(lower(text),"
+                " '[a-z0-9]+', 0), 1, 2), ' ')"
+            ),
+            "UTF-8",
+        ).alias("html"),
+    )
+    drop_dir = tempfile.mkdtemp(prefix="stream_native_src_")
+    chk_dir = tempfile.mkdtemp(prefix="stream_native_chk_")
+    out_dir = tempfile.mkdtemp(prefix="stream_native_out_")
+    pages.repartition(4).write.mode("overwrite").parquet(drop_dir)
+
+    stream_pages = (
+        spark.readStream.schema("url string, html binary")
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(drop_dir)
+    )
+    q = (
+        stream_dedup_native(stream_pages)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", os.path.join(chk_dir, "chk"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir).select("host", "fp").distinct()
+
+
 QUERIES = {
     "extract_stream_plain": extract_stream_plain,
     "stream_dedup_stateful": stream_dedup_stateful,
+    "stream_dedup_native": stream_dedup_native,
 }
 ORACLES = {
     "extract_stream_plain": EXTRACT_STREAM_PLAIN_SQL,
     "stream_dedup_stateful": STREAM_DEDUP_STATEFUL_SQL,
+    "stream_dedup_native": STREAM_DEDUP_STATEFUL_SQL,
 }

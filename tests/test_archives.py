@@ -126,3 +126,44 @@ def test_extract_tree_flattens_nested_archives():
         z.writestr("bad.zip", b"PK\x03\x04not really a zip")
     rows = extract_tree(broken.getvalue(), "b.zip")
     assert any(err is not None for *_, err in rows)
+
+
+def test_extract_tree_surfaces_mail_children():
+    """E-mail attachments become tree rows (the child sink in the
+    eml/pst walkers), and nested-mail attachments attach to the inner
+    node, not the outer."""
+    from docwire_spark.kernel.api import extract_tree
+
+    inner_eml = (
+        b"From: i@x\r\nSubject: inner\r\nMIME-Version: 1.0\r\n"
+        b"Content-Type: multipart/mixed; boundary=IN\r\n\r\n"
+        b"--IN\r\nContent-Type: text/plain; charset=utf-8\r\n\r\nib\r\n"
+        b"--IN\r\nContent-Type: text/plain; name=deep.txt\r\n"
+        b"Content-Disposition: attachment; filename=deep.txt\r\n\r\ndp\r\n"
+        b"--IN--\r\n"
+    )
+    outer = (
+        b"From: o@x\r\nSubject: outer\r\nMIME-Version: 1.0\r\n"
+        b"Content-Type: multipart/mixed; boundary=OUT\r\n\r\n"
+        b"--OUT\r\nContent-Type: text/plain; charset=utf-8\r\n\r\nob\r\n"
+        b"--OUT\r\nContent-Type: message/rfc822; name=fwd.eml\r\n"
+        b"Content-Disposition: attachment; filename=fwd.eml\r\n\r\n"
+        + inner_eml +
+        b"\r\n--OUT--\r\n"
+    )
+    rows = extract_tree(outer, "o.eml")
+    tree = {u: (p, d) for u, p, d, *_ in rows}
+    assert tree["o.eml"] == (None, 0)
+    assert tree["fwd.eml"] == ("o.eml", 1)
+    assert tree["deep.txt"] == ("fwd.eml", 2)
+    assert len(rows) == 3
+
+
+def test_extract_tree_surfaces_pst_attachments():
+    from docwire_spark.kernel.api import extract_tree
+    from tests.pst_builder import build_ansi_pst
+
+    rows = extract_tree(build_ansi_pst(), "a.pst")
+    assert [(u, p, d) for u, p, d, *_ in rows] == [
+        ("a.pst", None, 0), ("note.txt", "a.pst", 1),
+    ]
