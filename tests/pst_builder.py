@@ -176,3 +176,95 @@ def build_ansi_pst(
     struct.pack_into("<II", hdr, 192, 2, ib_bbt)  # BREFBBT
     hdr[461] = crypt                             # bCryptMethod
     return bytes(out)
+
+
+def build_ansi_pst_multi(folders, crypt=1):
+    """General ANSI-PST builder: ``folders`` is a list of
+    (folder_name, messages) with messages =
+    [(subject, creation_unix, body_html_or_None, attachments)], and
+    attachments = [(name, data)].  Exercises multi-folder walks,
+    body-less messages, multi-attachment tables."""
+    PR_SUBJECT, PR_CREATION = 0x0037, 0x3007
+    PR_HTML, PR_DISPLAY = 0x1013, 0x3001
+    PR_AFILE, PR_ADATA = 0x3704, 0x3701
+
+    blocks = {}
+    next_bid = [4]
+
+    def add(payload, internal=False):
+        bid = next_bid[0] | (2 if internal else 0)
+        next_bid[0] += 4
+        blocks[bid] = payload
+        return bid
+
+    nbt = {}
+    folder_nids = []
+    next_msg_nid = [0x164]
+    for fi, (fname, messages) in enumerate(folders):
+        fnid = 0x142 + 0x40 * fi
+        folder_nids.append(fnid)
+        nbt[fnid] = (add(_pc_block({PR_DISPLAY: (0x001F, _utf16(fname))})), 0)
+        msg_nids = []
+        for subject, ctime, html, atts in messages:
+            mnid = next_msg_nid[0]
+            next_msg_nid[0] += 0x40
+            msg_nids.append(mnid)
+            props = {PR_SUBJECT: (0x001F, _utf16(subject)),
+                     PR_CREATION: (0x0040, _filetime(ctime))}
+            if html is not None:
+                props[PR_HTML] = (0x0102, html)
+            bid_pc = add(_pc_block(props))
+            bid_sub = 0
+            if atts:
+                sl = {}
+                att_nids = []
+                for ai, (aname, adata) in enumerate(atts):
+                    anid = 0x8028 + 0x40 * ai
+                    att_nids.append(anid)
+                    sl[anid] = (add(_pc_block({
+                        PR_AFILE: (0x001F, _utf16(aname)),
+                        PR_ADATA: (0x0102, adata),
+                    })), 0)
+                sl[NID_ATTACH_TABLE] = (add(_tc_block(att_nids)), 0)
+                bid_sub = add(_sl_block(sl), internal=True)
+            nbt[mnid] = (bid_pc, bid_sub)
+        nbt[(fnid & ~0x1F) | 0x0E] = (add(_tc_block(msg_nids)), 0)
+    nbt[(NID_ROOT & ~0x1F) | 0x0D] = (add(_tc_block(folder_nids)), 0)
+
+    out = bytearray(512)
+    bbt_entries = []
+    for bid in sorted(blocks):
+        payload = blocks[bid]
+        if crypt == 1 and not (bid & 2):
+            payload = payload.translate(_ENCODE_TR)
+        ib = len(out)
+        out += payload
+        bbt_entries.append((bid, ib, len(payload)))
+
+    def _leaf_page(entries, cb_ent):
+        page = bytearray(512)
+        for k, e in enumerate(entries):
+            page[k * cb_ent:(k + 1) * cb_ent] = e
+        page[496] = len(entries)
+        page[497] = 496 // cb_ent
+        page[498] = cb_ent
+        page[499] = 0
+        return bytes(page)
+
+    ib_nbt = len(out)
+    out += _leaf_page(
+        [struct.pack("<IIII", nid, bd, bs, 0)
+         for nid, (bd, bs) in sorted(nbt.items())], 16)
+    ib_bbt = len(out)
+    out += _leaf_page(
+        [struct.pack("<IIHH", bid, ib, cb, 1)
+         for bid, ib, cb in bbt_entries], 12)
+
+    hdr = out
+    hdr[0:4] = b"!BDN"
+    struct.pack_into("<H", hdr, 10, 15)
+    struct.pack_into("<I", hdr, 168, len(out))
+    struct.pack_into("<II", hdr, 184, 1, ib_nbt)
+    struct.pack_into("<II", hdr, 192, 2, ib_bbt)
+    hdr[461] = crypt
+    return bytes(out)

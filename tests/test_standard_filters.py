@@ -117,3 +117,70 @@ def test_unnamed_elements_pass_filters():
     assert filter_by_folder_name(ev, ["x"]) == ev
     assert filter_by_attachment_type(ev, ["jpg"]) == ev
     assert filter_by_mail_max_creation_time(ev, 0) == ev
+
+
+def _multi():
+    from tests.pst_builder import build_ansi_pst_multi
+
+    return build_ansi_pst_multi([
+        ("Inbox", [
+            ("m one", 1_700_000_000, b"<p>first body</p>",
+             [("a.txt", b"att A"), ("b.csv", b"c,1")]),
+            ("nobody msg", 1_650_000_000, None,
+             [("orphan.txt", b"orphan data")]),
+        ]),
+        ("Sent", [
+            ("m two", 1_710_000_000, b"<p>second body</p>", []),
+        ]),
+    ])
+
+
+def test_multi_folder_pst_extracts_everything():
+    r = extract(_multi(), url="m.pst")
+    assert r.error is None
+    for frag in (b"Inbox", b"Sent", b"first body", b"second body",
+                 b"att A", b"c,1", b"orphan data"):
+        assert frag in r.text, frag
+
+
+def test_min_creation_filter_covers_bodyless_messages():
+    """Documented deviation from the reference (ADVICE r2): the
+    parse-time filter skips a body-less message's attachments too —
+    the reference can only skip messages that emit a mail element."""
+    r = extract(_multi(), url="m.pst",
+                mail_min_creation_time=1_660_000_000)
+    assert b"first body" in r.text          # 1.7e9 >= threshold
+    assert b"orphan data" not in r.text     # body-less, 1.65e9 < thr
+    assert b"second body" in r.text
+
+
+def test_folder_filter_on_multi_folder_pst():
+    r = extract(_multi(), url="m.pst", folder_names=["Sent"])
+    assert b"second body" in r.text
+    assert b"first body" not in r.text
+    assert b"orphan data" not in r.text
+
+
+def test_attachment_filter_multi_attachment_table():
+    r = extract(_multi(), url="m.pst", attachment_types=["csv"])
+    assert b"c,1" in r.text
+    assert b"att A" not in r.text
+    assert b"orphan data" not in r.text     # .txt filtered too
+
+
+def test_max_node_truncates_mid_stream():
+    full = extract(_multi(), url="m.pst")
+    capped = extract(_multi(), url="m.pst", max_node_number=5)
+    assert len(capped.text) < len(full.text)
+    assert b"Sent" not in capped.text
+
+
+def test_extract_tree_multi_attachment_pst():
+    from docwire_spark.kernel.api import extract_tree
+
+    rows = extract_tree(_multi(), "m.pst")
+    kids = {(u, p, d) for u, p, d, *_ in rows}
+    assert ("a.txt", "m.pst", 1) in kids
+    assert ("b.csv", "m.pst", 1) in kids
+    assert ("orphan.txt", "m.pst", 1) in kids
+    assert ("m.pst", None, 0) in kids
