@@ -8,7 +8,7 @@ Pipeline (north-rule shape):
          physically at the commit boundary; opt-in repartition for
          pathological inputs)
          [optional oversize split: length(html) > threshold -> own branch]
-      -> mapInPandas(extract_batch)   # Arrow batches, no per-row Python
+      -> mapInArrow(extract_batch)    # Arrow batches, no per-row Python
       -> union(oversize branch)
       -> results(url, mime, mime_confidence, extracted_text, spans,
                  meta, error, n_events, bytes_in, partition_id, bucket)
@@ -21,13 +21,13 @@ hosts are only skewed when you group by them).
 
 Scale notes (100 TB posture):
 - only ``html`` + ``url`` are read by the extraction scan (column
-  pruning: select before mapInPandas so parquet never materializes
+  pruning: select before mapInArrow so parquet never materializes
   unused columns)
 - oversized rows: uniformly spread by the url-hash shuffle by default;
   the opt-in oversize branch isolates extreme rows on their own full
   shard fanout when the size distribution demands it (see
   extract_pages docstring for the measured cost rationale)
-- mapInPandas streams batches; per-batch Python cost is amortized over
+- mapInArrow streams batches; per-batch Python cost is amortized over
   the Arrow transfer (no per-row pickling)
 """
 
@@ -101,45 +101,78 @@ def _result_schema(
     return StructType(fields)
 
 
+#: pyarrow types per result column (must mirror RESULT_SCHEMA)
+_PA_SPAN = None  # built lazily on the executor (pyarrow import)
+
+
+def _pa_types():
+    import pyarrow as pa
+
+    span = pa.list_(pa.struct([
+        pa.field("start", pa.int64()),
+        pa.field("end", pa.int64()),
+        pa.field("kind", pa.string()),
+    ]))
+    return {
+        "url": pa.string(), "mime": pa.string(),
+        "mime_confidence": pa.string(), "extracted_text": pa.string(),
+        "extracted_bytes": pa.binary(), "main_content": pa.string(),
+        "extracted_html": pa.string(), "meta_text": pa.string(),
+        "table_csv": pa.string(), "spans": span, "meta_json": pa.string(),
+        "error": pa.string(), "n_events": pa.int32(),
+        "bytes_in": pa.int64(), "partition_id": pa.int32(),
+        "bucket": pa.int32(),
+    }
+
+
 def _make_extract_batches(
     with_binary: bool,
     with_main_content: bool = False,
     exports: tuple = (),
     counters: dict | None = None,
 ):
-    """mapInPandas body factory: runs the pure-Python kernel per Arrow
-    batch.  ``extracted_bytes`` is only materialized when requested —
-    emitting it unconditionally doubles the Arrow transfer per row and
-    the JVM-side conversion cost, which at high task concurrency
-    starves the python workers (measured 4x end-to-end slowdown on the
-    oversized-row branch).
+    """mapInArrow body factory: runs the pure-Python kernel per Arrow
+    RecordBatch.  Arrow in/out directly (round 3: measured ~8% faster
+    than the former mapInPandas path — the kernel needs Python bytes
+    either way, but the pandas Series wrappers and the
+    DataFrame->Arrow conversion of the wide result are pure
+    overhead).  ``extracted_bytes`` is only materialized when
+    requested — emitting it unconditionally doubles the Arrow transfer
+    per row and the JVM-side conversion cost, which at high task
+    concurrency starves the python workers (measured 4x end-to-end
+    slowdown on the oversized-row branch).
 
     Imports live inside so the function ships cleanly to executors via
     --py-files.
     """
+    col_names = [
+        f.name for f in _result_schema(with_binary, with_main_content,
+                                       exports).fields
+    ]
 
     def _extract_batches(iterator):
-        import pandas as pd
+        import pyarrow as pa
         from pyspark import TaskContext
 
         from docwire_spark.kernel.api import extract
 
+        pa_types = _pa_types()
         tc = TaskContext.get()
         pid = tc.partitionId() if tc is not None else -1
 
-        for pdf in iterator:
-            urls = pdf["url"].tolist()
-            htmls = pdf["html"].tolist()
-            # bucket is computed JVM-side on the NARROW input (url only)
-            # and passed through: projecting it onto the WIDE python
-            # output instead costs a full row conversion of every
-            # result column (measured ~6s at 16 cores on 600k docs)
-            buckets = (
-                pdf["bucket"].tolist()
-                if "bucket" in pdf.columns else [None] * len(urls)
+        for batch in iterator:
+            urls = batch.column("url").to_pylist()
+            htmls = batch.column("html").to_pylist()
+            n = len(urls)
+            # bucket is computed JVM-side on the NARROW input (url
+            # only) and passed through as the original Arrow array —
+            # zero conversion cost
+            names = batch.schema.names
+            bucket_arr = (
+                batch.column("bucket").cast(pa.int32())
+                if "bucket" in names else pa.nulls(n, pa.int32())
             )
             out = {
-                "url": urls,
                 "mime": [],
                 "mime_confidence": [],
                 "extracted_text": [],
@@ -150,8 +183,6 @@ def _make_extract_batches(
                 "error": [],
                 "n_events": [],
                 "bytes_in": [],
-                "partition_id": [pid] * len(urls),
-                "bucket": buckets,
             }
             for name in exports:
                 out[EXPORT_COLUMNS[name]] = []
@@ -160,7 +191,7 @@ def _make_extract_batches(
             if not with_main_content:
                 del out["main_content"]
             for url, html in zip(urls, htmls):
-                data = bytes(html) if html is not None else b""
+                data = html if html is not None else b""
                 res = extract(
                     data, url=url or "",
                     want_main_content=with_main_content,
@@ -199,12 +230,24 @@ def _make_extract_batches(
                 out["n_events"].append(res.n_events)
                 out["bytes_in"].append(len(data))
             if counters is not None:  # one update per Arrow batch
-                counters["docs"].add(len(urls))
+                counters["docs"].add(n)
                 counters["bytes"].add(sum(out["bytes_in"]))
                 counters["failed"].add(
                     sum(1 for e in out["error"] if e is not None)
                 )
-            yield pd.DataFrame(out)
+            arrays = []
+            for cname in col_names:
+                if cname == "url":
+                    arrays.append(batch.column("url").cast(pa.string()))
+                elif cname == "partition_id":
+                    arrays.append(
+                        pa.array([pid] * n, pa.int32())
+                    )
+                elif cname == "bucket":
+                    arrays.append(bucket_arr)
+                else:
+                    arrays.append(pa.array(out[cname], pa_types[cname]))
+            yield pa.RecordBatch.from_arrays(arrays, col_names)
 
     return _extract_batches
 
@@ -262,7 +305,7 @@ def extract_pages(
             src.repartition(n_shards, F.xxhash64(F.col("url")))
             if shuffle else src
         )
-        extracted = sharded.mapInPandas(batch_fn, schema)
+        extracted = sharded.mapInArrow(batch_fn, schema)
     else:
         # coalesce: NULL html must not evaporate from both branches
         # (NULL predicate is neither true nor false) — it belongs in
@@ -281,8 +324,8 @@ def extract_pages(
         )
         if shuffle:
             normal = normal.repartition(n_shards, F.xxhash64(F.col("url")))
-        extracted = normal.mapInPandas(batch_fn, schema).unionByName(
-            oversized.mapInPandas(batch_fn, schema)
+        extracted = normal.mapInArrow(batch_fn, schema).unionByName(
+            oversized.mapInArrow(batch_fn, schema)
         )
 
     return extracted

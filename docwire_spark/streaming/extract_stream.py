@@ -50,7 +50,7 @@ def extract_stream(
     )
     schema = _result_schema(False, with_main_content, exports)
     batch_fn = _make_extract_batches(False, with_main_content, exports)
-    return src.mapInPandas(batch_fn, schema)
+    return src.mapInArrow(batch_fn, schema)
 
 
 def start_extract_stream(
