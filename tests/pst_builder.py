@@ -221,16 +221,75 @@ def build_ansi_pst_multi(folders, crypt=1):
                 for ai, (aname, adata) in enumerate(atts):
                     anid = 0x8028 + 0x40 * ai
                     att_nids.append(anid)
-                    sl[anid] = (add(_pc_block({
-                        PR_AFILE: (0x001F, _utf16(aname)),
-                        PR_ADATA: (0x0102, adata),
-                    })), 0)
+                    if len(adata) > 2000:
+                        # big payload: chunked data blocks under an
+                        # XBLOCK, referenced from the PC via a subnode
+                        # hnid (exercises the ANSI data-tree walk)
+                        chunk_bids = [
+                            add(adata[a:a + 2000])
+                            for a in range(0, len(adata), 2000)
+                        ]
+                        xb = struct.pack(
+                            "<BBHI", 1, 1, len(chunk_bids), len(adata)
+                        ) + b"".join(
+                            struct.pack("<I", b) for b in chunk_bids
+                        )
+                        xbid = add(xb, internal=True)
+                        hnid = 0x8021 + 0x40 * ai
+                        att_sl = add(_sl_block({hnid: (xbid, 0)}),
+                                     internal=True)
+                        sl[anid] = (add(_pc_block({
+                            PR_AFILE: (0x001F, _utf16(aname)),
+                            PR_ADATA: (0x0102, hnid),
+                        })), att_sl)
+                    else:
+                        sl[anid] = (add(_pc_block({
+                            PR_AFILE: (0x001F, _utf16(aname)),
+                            PR_ADATA: (0x0102, adata),
+                        })), 0)
                 sl[NID_ATTACH_TABLE] = (add(_tc_block(att_nids)), 0)
                 bid_sub = add(_sl_block(sl), internal=True)
             nbt[mnid] = (bid_pc, bid_sub)
         nbt[(fnid & ~0x1F) | 0x0E] = (add(_tc_block(msg_nids)), 0)
     nbt[(NID_ROOT & ~0x1F) | 0x0D] = (add(_tc_block(folder_nids)), 0)
 
+    return _assemble(blocks, nbt, crypt)
+
+
+def _leaf_page(entries, cb_ent):
+    page = bytearray(512)
+    for k, e in enumerate(entries):
+        page[k * cb_ent:(k + 1) * cb_ent] = e
+    page[496] = len(entries)
+    page[497] = 496 // cb_ent
+    page[498] = cb_ent
+    page[499] = 0               # cLevel: leaf
+    return bytes(page)
+
+
+def _btree(out, entries, keys, cb_ent):
+    """Write a 1- or 2-level ANSI BTree for ``entries`` (packed leaf
+    rows) with parallel ``keys``; returns the root page's ib.  Leaves
+    hold up to 496//cb_ent rows; more than one leaf gets an
+    intermediate page of 12-byte BTENTRYs (btkey u32, BREF(bid,ib))."""
+    per = 496 // cb_ent
+    leaf_refs = []
+    for at in range(0, len(entries), per):
+        ib = len(out)
+        out += _leaf_page(entries[at:at + per], cb_ent)
+        leaf_refs.append((keys[at], ib))
+    if len(leaf_refs) == 1:
+        return leaf_refs[0][1]
+    inter = [struct.pack("<III", key, 0, ib) for key, ib in leaf_refs]
+    assert len(inter) <= 496 // 12, "fixture too large for 2 levels"
+    page = bytearray(_leaf_page(inter, 12))
+    page[499] = 1               # cLevel: intermediate
+    ib = len(out)
+    out += bytes(page)
+    return ib
+
+
+def _assemble(blocks, nbt, crypt):
     out = bytearray(512)
     bbt_entries = []
     for bid in sorted(blocks):
@@ -241,24 +300,12 @@ def build_ansi_pst_multi(folders, crypt=1):
         out += payload
         bbt_entries.append((bid, ib, len(payload)))
 
-    def _leaf_page(entries, cb_ent):
-        page = bytearray(512)
-        for k, e in enumerate(entries):
-            page[k * cb_ent:(k + 1) * cb_ent] = e
-        page[496] = len(entries)
-        page[497] = 496 // cb_ent
-        page[498] = cb_ent
-        page[499] = 0
-        return bytes(page)
-
-    ib_nbt = len(out)
-    out += _leaf_page(
-        [struct.pack("<IIII", nid, bd, bs, 0)
-         for nid, (bd, bs) in sorted(nbt.items())], 16)
-    ib_bbt = len(out)
-    out += _leaf_page(
-        [struct.pack("<IIHH", bid, ib, cb, 1)
-         for bid, ib, cb in bbt_entries], 12)
+    nbt_rows = [struct.pack("<IIII", nid, bd, bs, 0)
+                for nid, (bd, bs) in sorted(nbt.items())]
+    ib_nbt = _btree(out, nbt_rows, sorted(nbt), 16)
+    bbt_rows = [struct.pack("<IIHH", bid, ib, cb, 1)
+                for bid, ib, cb in bbt_entries]
+    ib_bbt = _btree(out, bbt_rows, [b for b, _, _ in bbt_entries], 12)
 
     hdr = out
     hdr[0:4] = b"!BDN"

@@ -72,3 +72,29 @@ def test_unicode_golden_still_passes_with_completed_table():
     data = reference_fixture("1.pst")
     exp = reference_fixture("1.pst.out")
     assert extract(data, url="1.pst").text == exp
+
+
+def test_ansi_multipage_btree_and_xblock_data_tree():
+    """The reader paths a single-leaf fixture cannot reach: a 2-level
+    NBT (ANSI BTENTRY intermediate pages) and a chunked attachment
+    under an XBLOCK (u32-stride data tree), both through the permute
+    crypt."""
+    from tests.pst_builder import build_ansi_pst_multi
+
+    big = (b"0123456789abcdef" * 400)[:6100]  # 4 chunks -> XBLOCK
+    msgs = [
+        (f"subject {i:03d}", 1_700_000_000 + i,
+         f"<p>body {i:03d}</p>".encode(), [])
+        for i in range(40)
+    ]
+    msgs.append(("big one", 1_700_100_000, b"<p>big body</p>",
+                 [("big.txt", big)]))
+    data = build_ansi_pst_multi([("Inbox", msgs)])
+    r = extract(data, url="big.pst")
+    assert r.error is None
+    for i in range(40):
+        assert f"subject {i:03d}".encode() in r.text
+    assert big in r.text                       # data tree reassembled
+    plain = extract(build_ansi_pst_multi([("Inbox", msgs)], crypt=0),
+                    url="big.pst")
+    assert plain.text == r.text                # crypt roundtrip holds
