@@ -651,6 +651,9 @@ _EMB_SCHEMA = StructType(
         # zip_with over the keys arrays
         StructField("k1", LongType()),
         StructField("k2", LongType()),
+        # left-fold L2 norm computed in the same numpy pass — saves an
+        # interpreted sqrt(aggregate(...)) fold per row per join side
+        StructField("norm", DoubleType()),
     ]
 )
 
@@ -683,9 +686,17 @@ def _emb_band_batches(iterator):
         packed2 = [
             sum(row[b + 12] << (4 * b) for b in range(12)) for row in keys_col
         ]
+        norms = []
+        for lo in range(0, len(vs), CH):
+            chunk = np.stack(vs[lo:lo + CH])
+            # cumsum = the left fold the DuckDB oracle's sequential
+            # list_sum performs — bit-identical accumulation order
+            norms.extend(
+                np.sqrt((chunk * chunk).cumsum(axis=1)[:, -1]).tolist()
+            )
         yield pd.DataFrame(
             {"vec_id": pdf["vec_id"], "v": list(pdf["v"]), "keys": keys_col,
-             "k1": packed1, "k2": packed2}
+             "k1": packed1, "k2": packed2, "norm": norms}
         )
 
 
@@ -743,9 +754,7 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.vec_id").alias("vec_b"),
         )
     )
-    vn = banded.withColumn("norm", F.expr(NORM_CODEGEN)).select(
-        "vec_id", "v", "norm"
-    )
+    vn = banded.select("vec_id", "v", "norm")
     # broadcast the compact vector table onto the candidate stream
     # (sort-merge here shuffles every candidate row WITH both 64-double
     # payloads — measured 3x the whole query's cost at sf0.1) — gated

@@ -135,9 +135,7 @@ def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", F.col("vec_id").alias("neighbor_id"))
         .distinct()
     )
-    vn = banded.withColumn(
-        "norm", F.expr(NORM_CODEGEN)
-    ).select("vec_id", "v", "norm")
+    vn = banded.select("vec_id", "v", "norm")
     # query-side vectors: pre-filtered to the O(1) query set, so the
     # unconditional broadcast is always safe.  Neighbor-side vectors
     # are O(corpus) — hint only while the measured count stays under
