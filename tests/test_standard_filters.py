@@ -184,3 +184,86 @@ def test_extract_tree_multi_attachment_pst():
     assert ("b.csv", "m.pst", 1) in kids
     assert ("orphan.txt", "m.pst", 1) in kids
     assert ("m.pst", None, 0) in kids
+
+
+# ---- property tests: filters preserve event-stream well-formedness ----
+
+from hypothesis import given, settings, strategies as st
+
+from docwire_spark.kernel import events as E
+from docwire_spark.kernel.standard_filter import apply_standard_filters
+
+_PAIRS = [
+    (E.FOLDER, E.CLOSE_FOLDER),
+    (E.MAIL, E.CLOSE_MAIL),
+    (E.ATTACHMENT, E.CLOSE_ATTACHMENT),
+]
+
+
+@st.composite
+def _event_streams(draw):
+    """Random well-nested streams of folder/mail/attachment spans with
+    text leaves."""
+    events = [(E.DOCUMENT, None)]
+    stack = []
+    for _ in range(draw(st.integers(0, 40))):
+        action = draw(st.integers(0, 3))
+        if action == 0 and len(stack) < 4:
+            op, cl = draw(st.sampled_from(_PAIRS))
+            if op == E.FOLDER:
+                payload = (draw(st.sampled_from(
+                    [None, "Inbox", "Sent", "Spam"])), len(stack))
+            elif op == E.MAIL:
+                payload = (draw(st.text(max_size=5)),
+                           draw(st.one_of(st.none(),
+                                          st.integers(0, 2_000_000_000))),
+                           len(stack))
+            else:
+                payload = draw(st.sampled_from(
+                    [None, "a.txt", "b.jpg", "noext"]))
+            events.append((op, payload))
+            stack.append(cl)
+        elif action == 1 and stack:
+            events.append((stack.pop(), None))
+        else:
+            events.append((E.TEXT, draw(st.text(max_size=8))))
+    while stack:
+        events.append((stack.pop(), None))
+    events.append((E.CLOSE_DOCUMENT, None))
+    return events
+
+
+def _balanced(events):
+    depth = {op: 0 for op, _ in _PAIRS}
+    for k, _ in events:
+        for op, cl in _PAIRS:
+            if k == op:
+                depth[op] += 1
+            elif k == cl:
+                depth[op] -= 1
+                if depth[op] < 0:
+                    return False
+    return all(v == 0 for v in depth.values())
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    ev=_event_streams(),
+    folders=st.one_of(st.none(), st.lists(
+        st.sampled_from(["Inbox", "Sent"]), max_size=2)),
+    types=st.one_of(st.none(), st.lists(
+        st.sampled_from(["txt", "jpg"]), max_size=2)),
+    min_t=st.one_of(st.none(), st.integers(0, 2_000_000_000)),
+    max_t=st.one_of(st.none(), st.integers(0, 2_000_000_000)),
+)
+def test_filters_preserve_balance_and_are_idempotent(
+    ev, folders, types, min_t, max_t
+):
+    kwargs = dict(folder_names=folders, attachment_types=types,
+                  mail_min_creation_time=min_t,
+                  mail_max_creation_time=max_t)
+    out = apply_standard_filters(ev, **kwargs)
+    assert _balanced(out)
+    assert len(out) <= len(ev)
+    # filtering is idempotent: a second pass changes nothing
+    assert apply_standard_filters(out, **kwargs) == out

@@ -190,3 +190,47 @@ def test_stream_dedup_native_matches_stateful(spark, tmp_path):
     got = {(r["host"], r["fp"]) for r in spark.read.parquet(out).collect()}
     assert len(got) == 3
     assert {h for h, _ in got} == {"a.example", "b.example"}
+
+
+def test_stream_dedup_native_watermark_bounded(spark, tmp_path):
+    """dropDuplicatesWithinWatermark path: event-time column rides
+    along, state is bounded by the watermark horizon, and in-horizon
+    duplicates are suppressed."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from docwire_spark.streaming.dedup_stream import stream_dedup_native
+
+    src = str(tmp_path / "wsrc")
+    os.makedirs(src, exist_ok=True)
+    rows = [
+        ("https://a.example/1", "alpha", "2024-01-01 10:00:00"),
+        ("https://a.example/2", "alpha", "2024-01-01 10:05:00"),  # dup
+        ("https://a.example/3", "beta", "2024-01-01 10:06:00"),
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, body string, ts_s string"
+    ).select(
+        "url", F.encode("body", "UTF-8").alias("html"),
+        F.col("ts_s").cast("timestamp").alias("ts"),
+    )
+    df.coalesce(1).write.mode("append").parquet(src)
+    pages = (
+        spark.readStream.schema("url string, html binary, ts timestamp")
+        .format("parquet")
+        .load(src)
+    )
+    out = str(tmp_path / "wout")
+    q = (
+        stream_dedup_native(pages, watermark=("ts", "10 minutes"))
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "wchk"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {(r["host"], r["fp"]) for r in spark.read.parquet(out).collect()}
+    assert len(got) == 2  # alpha suppressed once, beta kept
