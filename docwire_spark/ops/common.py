@@ -23,8 +23,27 @@ BPE_EXPR = "regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9 ]', 0)"
 BPE_SQL = "regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9 ]')"
 
 
-def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet"))
+def load(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str,
+    parallelize: bool = False,
+) -> DataFrame:
+    """Read a testdata table.  ``parallelize=True`` right-sizes the
+    scan for CPU-heavy per-row work (numpy/extraction kernels, regex
+    stats): a small single-row-group parquet file yields ONE scan
+    partition, which would serialize the whole kernel onto one core —
+    measured: the entire sf0.1 MinHash signature pass ran
+    single-threaded before this.  The repartition only fires when the
+    scan has fewer partitions than the cluster's parallelism, so at
+    real scale (thousands of splits) it is a no-op — never an
+    unconditional shuffle."""
+    df = spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet"))
+    if parallelize:
+        target = spark.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < target:
+            df = df.repartition(target)
+    return df
 
 
 #: Row caps for the size-gated broadcast hint below.  SLIM rows carry a

@@ -94,7 +94,7 @@ _B = [int(hashlib.md5(f"b{i}".encode()).hexdigest()[:16], 16)
 
 
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = with_tokens(load(spark, sf_dir, "documents"))
+    docs = with_tokens(load(spark, sf_dir, "documents", parallelize=True))
     return (
         docs.select(
             "doc_id", F.expr("md5(concat_ws(' ', tokens))").alias("fp")
@@ -211,7 +211,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output is identical to the direct banded plan (candidacy is a
     function of the signature, which is a function of the shingle
     set), so the oracle does not model the collapse."""
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = load(spark, sf_dir, "documents", parallelize=True).select("doc_id", "text")
     sigs = docs.mapInPandas(_minhash_batches, _MH_SCHEMA)
     groups = (
         sigs.filter(F.size("sh") > 0)
@@ -384,7 +384,7 @@ DEDUP_MINHASH_SQL = _minhash_sql()
 
 def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, sh): sorted distinct unigram shingle set per doc."""
-    return with_tokens(load(spark, sf_dir, "documents")).select(
+    return with_tokens(load(spark, sf_dir, "documents", parallelize=True)).select(
         "doc_id",
         F.array_sort(F.array_distinct("tokens")).alias("sh"),
     )
@@ -479,7 +479,7 @@ def _simhash_batches(iterator):
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = load(spark, sf_dir, "documents", parallelize=True).select("doc_id", "text")
     return docs.mapInPandas(_simhash_batches, _SIMHASH_SCHEMA)
 
 
@@ -716,7 +716,7 @@ NORM_CODEGEN = "sqrt(aggregate(v, 0D, (acc, x) -> acc + x * x))"
 
 
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    vecs = load(spark, sf_dir, "embeddings").select(
+    vecs = load(spark, sf_dir, "embeddings", parallelize=True).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     # persist: the banded table feeds both self-join sides and the two

@@ -37,7 +37,7 @@ def _run_kernel(pages: DataFrame, extra_cols=()) -> DataFrame:
 
 
 def extract_plain(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents", parallelize=True)
     pages = docs.select(
         F.concat(F.lit(_URL_PREFIX), F.col("doc_id").cast("string")).alias("url"),
         F.encode(
@@ -61,7 +61,7 @@ FROM documents
 
 
 def extract_rich(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents").withColumn(
+    docs = load(spark, sf_dir, "documents", parallelize=True).withColumn(
         "tokens", F.expr(TOKENS_EXPR)
     )
     docs = docs.filter(F.size("tokens") >= 2)
@@ -103,7 +103,7 @@ WHERE len(tokens) >= 2
 
 
 def extract_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents").withColumn(
+    docs = load(spark, sf_dir, "documents", parallelize=True).withColumn(
         "tokens", F.expr(TOKENS_EXPR)
     )
     docs = docs.filter(F.size("tokens") >= 4)
@@ -175,7 +175,7 @@ def extract_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Boilerplate-strip stage (kernel/boilerplate.py, WSDM'10 tree):
     nav/footer link chrome around the article must vanish from
     ``main_content`` while ``extracted_text`` keeps full parity."""
-    docs = load(spark, sf_dir, "documents").filter(F.expr(_WC_SPARK))
+    docs = load(spark, sf_dir, "documents", parallelize=True).filter(F.expr(_WC_SPARK))
     pages = docs.select(
         F.concat(F.lit(_URL_PREFIX), F.col("doc_id").cast("string")).alias("url"),
         F.encode(
@@ -204,7 +204,7 @@ WHERE {_WC_SQL}
 def extract_html_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HTML exporter (kernel/html_writer.py, reference html_writer.cpp
     byte rules verified against tests/1..3.html.out.html goldens)."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents", parallelize=True)
     pages = docs.select(
         F.concat(F.lit(_URL_PREFIX), F.col("doc_id").cast("string")).alias("url"),
         F.encode(
@@ -250,7 +250,7 @@ FROM documents
 def extract_csv_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CSV exporter (kernel/csv_writer.py: tables only, CRLF rows, no
     quoting — reference csv_writer.cpp:18-45)."""
-    docs = load(spark, sf_dir, "documents").withColumn(
+    docs = load(spark, sf_dir, "documents", parallelize=True).withColumn(
         "tokens", F.expr(TOKENS_EXPR)
     )
     docs = docs.filter(F.size("tokens") >= 4)
@@ -297,7 +297,7 @@ def extract_format_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     as HTML, plain text, or XML by doc_id residue; the detector
     cascade must route each to the right parser (SURVEY.md §2.2
     dispatch rule), counted per mime with total extracted chars."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents", parallelize=True)
     did = F.col("doc_id").cast("string")
     body = F.when(
         F.col("doc_id") % 3 == 0,
@@ -362,7 +362,7 @@ def extract_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     template yields exactly two spans per document — the ``<url>``
     link render at [0, len(url)+2) and the text at [link_end,
     link_end+len(text)) — reconstructed analytically in the oracle."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents", parallelize=True)
     did = F.col("doc_id").cast("string")
     pages = docs.select(
         F.concat(F.lit(_URL_PREFIX), did).alias("url"),

@@ -504,7 +504,7 @@ def _synth_pages(docs: DataFrame, fmt_col) -> DataFrame:
 
 
 def _roundtrip(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents", parallelize=True)
     pages = _synth_pages(docs, F.lit(fmt))
     res = extract_pages(pages, n_shards=16)
     return res.select(
@@ -680,7 +680,7 @@ def extract_fodt_roundtrip(spark, sf_dir):
     sniff refinement (content_type_odf_flat.cpp:17-37) must route the
     single-file XML to the ODF parser.  The payload is built entirely
     in Catalyst (pure XML), no Python builder involved."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents", parallelize=True)
     pages = docs.select(
         F.concat(F.lit(_URL_PREFIX), F.col("doc_id").cast("string"),
                  F.lit(".fodt")).alias("url"),
@@ -719,7 +719,7 @@ def extract_binary_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     magic-byte + container sniff cascade must route every payload to
     the right parser (zip-vs-docx disambiguation exercises the
     odf_ooxml ZIP-member sniff)."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents", parallelize=True)
     fmt = (
         F.when(F.col("doc_id") % 5 == 0, F.lit("pdf"))
         .when(F.col("doc_id") % 5 == 1, F.lit("docx"))
@@ -835,7 +835,7 @@ def extract_tree_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     tree flattens to (url, parent_url, depth, mime, n_chars) child
     rows inside one Arrow batch — no shuffle, no driver recursion;
     at 100 TB this is the same map-only shape as extraction itself."""
-    docs = load(spark, sf_dir, "documents").select(
+    docs = load(spark, sf_dir, "documents", parallelize=True).select(
         "doc_id", "source", "text"
     )
     return docs.mapInPandas(_tree_batches, _TREE_SCHEMA)

@@ -110,7 +110,7 @@ def _media_batches(iterator):
 def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The media fixture table: real container headers (built by
     kernel.media_headers) wrapping the document text as payload."""
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = load(spark, sf_dir, "documents", parallelize=True).select("doc_id", "text")
     return docs.mapInPandas(_blob_batches, BLOB_SCHEMA)
 
 
@@ -213,7 +213,7 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     one-to-many mapInPandas shape video/audio feature extraction
     needs).  Frames sample the raw payload stream — the container
     header belongs to multimodal_meta."""
-    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 2)
+    docs = load(spark, sf_dir, "documents", parallelize=True).filter(F.col("doc_id") % 3 == 2)
     videos = docs.select(
         "doc_id", F.encode("text", "UTF-8").alias("blob")
     )

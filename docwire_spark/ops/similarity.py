@@ -48,7 +48,7 @@ LSH_N_QUERIES = 20
 
 def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
-        load(spark, sf_dir, "embeddings")
+        load(spark, sf_dir, "embeddings", parallelize=True)
         .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
         .withColumn("norm", F.expr(NORM_CODEGEN))
     )
@@ -116,7 +116,7 @@ def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     window top-k.  At cluster scale the band table is the shuffle
     key and the scored candidate set is ~(recall-controlled) orders
     of magnitude smaller than the corpus."""
-    vecs = load(spark, sf_dir, "embeddings").select(
+    vecs = load(spark, sf_dir, "embeddings", parallelize=True).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     banded = persist_tracked(

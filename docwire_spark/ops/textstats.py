@@ -24,7 +24,7 @@ from docwire_spark.ops.common import (
 
 
 def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = with_tokens(load(spark, sf_dir, "documents"))
+    docs = with_tokens(load(spark, sf_dir, "documents", parallelize=True))
     return docs.select(
         "doc_id",
         F.size("tokens").cast("bigint").alias("n_tokens"),
@@ -59,7 +59,7 @@ _STOP_EN = "'the','a','and','of','to','in','is','it','on','for'"
 
 
 def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = with_tokens(load(spark, sf_dir, "documents"))
+    docs = with_tokens(load(spark, sf_dir, "documents", parallelize=True))
     n_tok = F.size("tokens")
     n_stop = F.expr(f"size(filter(tokens, t -> t IN ({_STOP_EN})))")
     n_chars = F.length("text")
@@ -114,7 +114,7 @@ _LANG_STOPS = {
 
 
 def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = with_tokens(load(spark, sf_dir, "documents"))
+    docs = with_tokens(load(spark, sf_dir, "documents", parallelize=True))
     hits = {
         lang: F.expr(f"size(filter(tokens, t -> t IN ({stops})))")
         for lang, stops in _LANG_STOPS.items()
@@ -181,7 +181,7 @@ SHINGLE3_SQL = (
 
 
 def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = with_tokens(load(spark, sf_dir, "documents"))
+    docs = with_tokens(load(spark, sf_dir, "documents", parallelize=True))
     return docs.select(
         "doc_id",
         F.expr("md5(concat_ws(' ', tokens))").alias("fp_md5"),
@@ -216,7 +216,7 @@ _BIGRAMS_EXPR = (
 
 
 def repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = with_tokens(load(spark, sf_dir, "documents")).withColumn(
+    docs = with_tokens(load(spark, sf_dir, "documents", parallelize=True)).withColumn(
         "bg", F.expr(_BIGRAMS_EXPR)
     )
     n_tok = F.size("tokens").cast("bigint")
