@@ -832,6 +832,112 @@ WHERE cos_sim >= {COSINE_THRESHOLD}
 DEDUP_EMBEDDING_SQL = _emb_sql()
 
 
+# ---------------------------------------------------------------------------
+# exact substring-chunk dedup (Lee et al. 2021, "Deduplicating Training
+# Data Makes Language Models Better": remove repeated token spans
+# corpus-wide, keeping the first occurrence).  Suffix-array span
+# matching is approximated by non-overlapping CHUNK_K-token chunks —
+# the SlimPajama / Dolma production simplification of the same idea.
+# ---------------------------------------------------------------------------
+
+CHUNK_K = 5
+
+#: non-overlapping CHUNK_K-token chunks, joined to a single string key
+_CHUNKS_EXPR = (
+    f"CASE WHEN size(tokens) >= {CHUNK_K} THEN"
+    f" transform(sequence(0, cast(floor(size(tokens) / {CHUNK_K}) as int) - 1),"
+    f" i -> array_join(slice(tokens, i * {CHUNK_K} + 1, {CHUNK_K}), ' '))"
+    " ELSE array() END"
+)
+
+
+def dedup_chunk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicate-chunk statistics under a keep-first
+    policy: an occurrence of a chunk survives only in the document
+    with the minimal ``(doc_id, position)`` corpus-wide.
+
+    Scale shape: explode to one slim row per chunk occurrence
+    (doc_id, position, ~40-byte chunk string), ONE shuffle on the
+    chunk key for both window functions (count + row_number share the
+    partitioning), then a groupBy shuffle on doc_id.  Chunk groups
+    are duplicate-cluster-sized (tiny), so no skew; no broadcast of
+    anything corpus-sized.  At 10^12 docs this is the same topology
+    as production chunk-dedup: a distributed sort/group on the chunk
+    hash."""
+    from pyspark.sql import Window
+
+    docs = with_tokens(load(spark, sf_dir, "documents", parallelize=True))
+    occ = docs.select(
+        "doc_id", F.posexplode(F.expr(_CHUNKS_EXPR)).alias("i", "chunk")
+    )
+    w_cnt = Window.partitionBy("chunk")
+    w_rn = Window.partitionBy("chunk").orderBy("doc_id", "i")
+    stats = occ.select(
+        "doc_id",
+        F.count("*").over(w_cnt).alias("cnt"),
+        F.row_number().over(w_rn).alias("rn"),
+    )
+    per_doc = stats.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_chunks"),
+        F.sum(F.when(F.col("cnt") > 1, 1).otherwise(0))
+        .cast("bigint").alias("n_dup_chunks"),
+        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0))
+        .cast("bigint").alias("n_kept_chunks"),
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_chunks", F.lit(0)).cast("bigint").alias("n_chunks"),
+            F.coalesce("n_dup_chunks", F.lit(0))
+            .cast("bigint").alias("n_dup_chunks"),
+            F.when(
+                F.coalesce("n_chunks", F.lit(0)) > 0,
+                F.round(
+                    F.col("n_dup_chunks").cast("double") / F.col("n_chunks"),
+                    6,
+                ),
+            ).otherwise(F.lit(0.0)).alias("dup_chunk_frac"),
+            F.coalesce("n_kept_chunks", F.lit(0))
+            .cast("bigint").alias("n_kept_chunks"),
+        )
+    )
+
+
+DEDUP_CHUNK_SQL = f"""
+WITH t AS (
+  SELECT doc_id, {TOKENS_SQL} AS tokens FROM documents
+), occ AS (
+  SELECT doc_id, i,
+         list_reduce(tokens[(i * {CHUNK_K} + 1):(i * {CHUNK_K} + {CHUNK_K})],
+                     (a, b) -> a || ' ' || b) AS chunk
+  FROM t, unnest(range(CAST(floor(len(tokens) / {CHUNK_K}) AS BIGINT))) AS u(i)
+), s AS (
+  SELECT doc_id,
+         count(*) OVER (PARTITION BY chunk) AS cnt,
+         row_number() OVER (PARTITION BY chunk ORDER BY doc_id, i) AS rn
+  FROM occ
+), per_doc AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_chunks,
+         CAST(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dup_chunks,
+         CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_kept_chunks
+  FROM s GROUP BY doc_id
+)
+SELECT t.doc_id,
+       coalesce(n_chunks, 0) AS n_chunks,
+       coalesce(n_dup_chunks, 0) AS n_dup_chunks,
+       CASE WHEN coalesce(n_chunks, 0) > 0
+            THEN round(CAST(n_dup_chunks AS DOUBLE) / n_chunks, 6)
+            ELSE 0.0 END AS dup_chunk_frac,
+       coalesce(n_kept_chunks, 0) AS n_kept_chunks
+FROM t LEFT JOIN per_doc USING (doc_id)
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -839,6 +945,7 @@ QUERIES = {
     "dedup_simhash": dedup_simhash,
     "dedup_simhash_pairs": dedup_simhash_pairs,
     "dedup_embedding": dedup_embedding,
+    "dedup_chunk_exact": dedup_chunk_exact,
 }
 
 ORACLES = {
@@ -848,4 +955,5 @@ ORACLES = {
     "dedup_simhash": DEDUP_SIMHASH_SQL,
     "dedup_simhash_pairs": DEDUP_SIMHASH_PAIRS_SQL,
     "dedup_embedding": DEDUP_EMBEDDING_SQL,
+    "dedup_chunk_exact": DEDUP_CHUNK_SQL,
 }
