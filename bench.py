@@ -40,12 +40,15 @@ HEADLINE = [
     "text_lang_id",
     "text_fingerprint",
     "text_repetition",
+    "corpus_quality_filter",
+    "bm25_search",
     # dedup (scale paths only)
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_simhash_pairs",
     "dedup_embedding",
+    "dedup_chunk_exact",
     # similarity search
     "similarity_topk",
     "similarity_ann_lsh",

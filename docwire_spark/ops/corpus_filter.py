@@ -1,0 +1,259 @@
+"""Corpus-level quality filtering and keyword search.
+
+``corpus_quality_filter`` composes the Gopher-style document rules
+(Rae et al. 2021 §A1.1; also C4, Raffel et al. 2020) into a single
+keep/drop verdict with per-rule flags — the standard pre-training
+data-cleaning pass.  ``bm25_search`` is corpus keyword retrieval
+(Robertson & Walker BM25) for a fixed query-term set.
+
+Both are pure Catalyst (no Python eval nodes) and designed for
+cross-engine determinism against the DuckDB oracle:
+
+- the filter emits ONLY integer flags — rule comparisons happen on
+  doubles produced by one exact-int division, which is bit-identical
+  across IEEE-754 engines, and the comparison result is an int;
+- BM25 uses the log-free Robertson idf ``(N - df + .5)/(df + .5)``
+  (a documented monotone variant: ``ln`` differs by ULPs between
+  libm and the JVM) and a FIXED left-assoc summation order over the
+  fixed term list, so scores are bit-identical across engines and
+  the top-k set needs no rounding to agree.
+
+Scale shape (10^12 docs): the filter is one map-side pass — no
+shuffle at all.  BM25 is the two-pass textbook shape: a slim
+stats aggregate (one row: N, sum(dl), per-term df) broadcast back
+over a second pass, then global top-k via TakeOrdered (no
+single-partition sort).  Per-term tf is computed by codegen
+``size(filter(...))`` on the token array — no explode, because the
+query-term list is fixed and small; an inverted-index (explode +
+groupBy term) is the right shape only for large/ad-hoc term sets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .common import TOKENS_SQL, load, persist_tracked, with_tokens
+
+# ---------------------------------------------------------------------------
+# Gopher-style quality filter
+# ---------------------------------------------------------------------------
+
+#: rule thresholds, tuned non-degenerate for the synthetic corpus
+#: (Gopher's originals in comments where they differ)
+MIN_TOKENS = 50          # Gopher: 50
+MAX_TOKENS = 100_000     # Gopher: 100k
+MIN_AVG_TOKEN_LEN = 4.3  # Gopher: 3 (corpus range is 3.7-5.3)
+MAX_AVG_TOKEN_LEN = 10.0
+MIN_STOPWORDS = 2        # Gopher: >= 2 stopword hits
+MAX_SHORT_TOKEN_FRAC = 0.05   # analog of Gopher's 80%-alpha-words rule
+MAX_TOP_BIGRAM_FRAC = 0.08    # Gopher: top-2-gram <= 0.18
+
+_STOP_EN = "'the','a','and','of','to','in','is','it','on','for'"
+
+# expression fragments shared verbatim between the Spark plan and the
+# DuckDB oracle modulo function-name spelling, so the double
+# arithmetic trees are identical
+_BIGRAMS = (
+    "transform(sequence(1, greatest(size(tokens) - 1, 0)),"
+    " i -> concat(element_at(tokens, i), ' ', element_at(tokens, i + 1)))"
+)
+
+
+def corpus_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One map-side pass; every output column is an int flag."""
+    docs = with_tokens(
+        load(spark, sf_dir, "documents", parallelize=True)
+    ).withColumn("bg", F.expr(_BIGRAMS))
+    n_tok = F.size("tokens").cast("bigint")
+    sum_len = F.expr(
+        "aggregate(transform(tokens, t -> length(t)), 0L, (acc, x) -> acc + x)"
+    )
+    avg_len = sum_len.cast("double") / n_tok
+    stops = F.expr(f"size(filter(tokens, t -> t IN ({_STOP_EN})))")
+    short_frac = (
+        F.expr("size(filter(tokens, t -> length(t) = 1))").cast("double") / n_tok
+    )
+    n_bg = F.size("bg")
+    top_bg = F.expr(
+        "coalesce(array_max(transform(array_distinct(bg),"
+        " b -> size(filter(bg, x -> x = b)))), 0)"
+    )
+    r_len = (
+        (n_tok >= MIN_TOKENS) & (n_tok <= MAX_TOKENS)
+    ).cast("int").alias("pass_n_tokens")
+    r_avg = (
+        (avg_len >= MIN_AVG_TOKEN_LEN) & (avg_len <= MAX_AVG_TOKEN_LEN)
+    ).cast("int").alias("pass_avg_token_len")
+    r_stop = (stops >= MIN_STOPWORDS).cast("int").alias("pass_stopwords")
+    r_short = (short_frac <= MAX_SHORT_TOKEN_FRAC).cast("int").alias(
+        "pass_short_tokens"
+    )
+    r_bg = (
+        (n_bg == 0)
+        | (top_bg.cast("double") / n_bg <= MAX_TOP_BIGRAM_FRAC)
+    ).cast("int").alias("pass_top_bigram")
+    out = docs.select("doc_id", r_len, r_avg, r_stop, r_short, r_bg)
+    keep = (
+        F.col("pass_n_tokens") * F.col("pass_avg_token_len")
+        * F.col("pass_stopwords") * F.col("pass_short_tokens")
+        * F.col("pass_top_bigram")
+    ).cast("int").alias("keep")
+    return out.select("*", keep)
+
+
+QUALITY_FILTER_SQL = f"""
+WITH t AS (
+  SELECT doc_id, {TOKENS_SQL} AS tokens FROM documents
+), b AS (
+  SELECT doc_id, tokens,
+         list_transform(generate_series(1, greatest(len(tokens) - 1, 0)),
+                        i -> tokens[i] || ' ' || tokens[i + 1]) AS bg
+  FROM t
+), m AS (
+  SELECT doc_id,
+         len(tokens) AS n_tok,
+         CAST(list_sum(list_transform(tokens, t -> length(t))) AS DOUBLE)
+           / len(tokens) AS avg_len,
+         len(list_filter(tokens, t -> t IN ({_STOP_EN}))) AS stops,
+         CAST(len(list_filter(tokens, t -> length(t) = 1)) AS DOUBLE)
+           / len(tokens) AS short_frac,
+         len(bg) AS n_bg,
+         coalesce(list_max(list_transform(list_distinct(bg),
+             x -> len(list_filter(bg, y -> y = x)))), 0) AS top_bg
+  FROM b
+), r AS (
+  SELECT doc_id,
+    CAST(n_tok >= {MIN_TOKENS} AND n_tok <= {MAX_TOKENS} AS INT)
+      AS pass_n_tokens,
+    CAST(avg_len >= {MIN_AVG_TOKEN_LEN} AND avg_len <= {MAX_AVG_TOKEN_LEN}
+         AS INT) AS pass_avg_token_len,
+    CAST(stops >= {MIN_STOPWORDS} AS INT) AS pass_stopwords,
+    CAST(short_frac <= {MAX_SHORT_TOKEN_FRAC} AS INT) AS pass_short_tokens,
+    CAST(n_bg = 0 OR CAST(top_bg AS DOUBLE) / n_bg <= {MAX_TOP_BIGRAM_FRAC}
+         AS INT) AS pass_top_bigram
+  FROM m
+)
+SELECT *,
+       CAST(pass_n_tokens * pass_avg_token_len * pass_stopwords
+            * pass_short_tokens * pass_top_bigram AS INT) AS keep
+FROM r
+"""
+
+# ---------------------------------------------------------------------------
+# BM25 keyword search
+# ---------------------------------------------------------------------------
+
+QUERY_TERMS = ("join", "vector", "stream")
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP_K = 100
+
+
+def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-``BM25_TOP_K`` documents for the fixed ``QUERY_TERMS``.
+
+    Pass 1 aggregates corpus stats to ONE row (N, sum dl, per-term
+    df); pass 2 broadcasts that row back over the slim per-doc
+    projection and scores in codegen.  The base projection is
+    persisted so the corpus is scanned once, not twice."""
+    docs = with_tokens(load(spark, sf_dir, "documents", parallelize=True))
+    tf_cols = [
+        F.expr(f"size(filter(tokens, t -> t = '{t}'))")
+        .cast("bigint").alias(f"tf_{t}")
+        for t in QUERY_TERMS
+    ]
+    base = persist_tracked(
+        docs.select(
+            "doc_id", F.size("tokens").cast("bigint").alias("dl"), *tf_cols
+        )
+    )
+    stats = base.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+        *[
+            F.sum((F.col(f"tf_{t}") > 0).cast("bigint")).alias(f"df_{t}")
+            for t in QUERY_TERMS
+        ],
+    )
+    scored = base.crossJoin(F.broadcast(stats))
+    # identical arithmetic tree to BM25_SEARCH_SQL below (see module
+    # docstring: bit-identical doubles is the oracle contract)
+    score_terms = [
+        f"(((CAST(n_docs - df_{t} AS DOUBLE) + 0.5)"
+        f" / (CAST(df_{t} AS DOUBLE) + 0.5))"
+        f" * ((CAST(tf_{t} AS DOUBLE) * ({BM25_K1} + 1.0))"
+        f" / (CAST(tf_{t} AS DOUBLE) + {BM25_K1} * ((1.0 - {BM25_B})"
+        f" + {BM25_B} * (CAST(dl AS DOUBLE)"
+        f" / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))))"
+        for t in QUERY_TERMS
+    ]
+    matched = " + ".join(f"tf_{t}" for t in QUERY_TERMS)
+    return (
+        scored.withColumn("score", F.expr(" + ".join(score_terms)))
+        .filter(F.expr(matched) > 0)
+        .select(
+            "doc_id", "dl",
+            *[f"tf_{t}" for t in QUERY_TERMS],
+            "score",
+        )
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(BM25_TOP_K)
+    )
+
+
+def _bm25_sql() -> str:
+    tf_exprs = ",\n         ".join(
+        f"CAST(len(list_filter(tokens, t -> t = '{t}')) AS BIGINT) AS tf_{t}"
+        for t in QUERY_TERMS
+    )
+    df_exprs = ",\n         ".join(
+        f"CAST(sum(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS df_{t}"
+        for t in QUERY_TERMS
+    )
+    score_terms = " + ".join(
+        f"(((CAST(n_docs - df_{t} AS DOUBLE) + 0.5)"
+        f" / (CAST(df_{t} AS DOUBLE) + 0.5))"
+        f" * ((CAST(tf_{t} AS DOUBLE) * ({BM25_K1} + 1.0))"
+        f" / (CAST(tf_{t} AS DOUBLE) + {BM25_K1} * ((1.0 - {BM25_B})"
+        f" + {BM25_B} * (CAST(dl AS DOUBLE)"
+        f" / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))))"
+        for t in QUERY_TERMS
+    )
+    matched = " + ".join(f"tf_{t}" for t in QUERY_TERMS)
+    tf_names = ", ".join(f"tf_{t}" for t in QUERY_TERMS)
+    return f"""
+WITH t AS (
+  SELECT doc_id, {TOKENS_SQL} AS tokens FROM documents
+), base AS (
+  SELECT doc_id, CAST(len(tokens) AS BIGINT) AS dl,
+         {tf_exprs}
+  FROM t
+), stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(dl) AS BIGINT) AS sum_dl,
+         {df_exprs}
+  FROM base
+)
+SELECT doc_id, dl, {tf_names},
+       {score_terms} AS score
+FROM base, stats
+WHERE {matched} > 0
+ORDER BY score DESC, doc_id
+LIMIT {BM25_TOP_K}
+"""
+
+
+BM25_SEARCH_SQL = _bm25_sql()
+
+
+QUERIES = {
+    "corpus_quality_filter": corpus_quality_filter,
+    "bm25_search": bm25_search,
+}
+
+ORACLES = {
+    "corpus_quality_filter": QUALITY_FILTER_SQL,
+    "bm25_search": BM25_SEARCH_SQL,
+}
