@@ -42,6 +42,7 @@ HEADLINE = [
     "text_repetition",
     "corpus_quality_filter",
     "bm25_search",
+    "sample_stratified",
     # dedup (scale paths only)
     "dedup_exact",
     "dedup_minhash_lsh",
@@ -58,6 +59,7 @@ HEADLINE = [
     # relational shell
     "events_by_type",
     "events_user_sessions",
+    "events_asof_attribution",
     "orders_fulfillment",
     "top_parts_by_flag",
     "source_skew_salt",

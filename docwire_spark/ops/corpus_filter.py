@@ -248,12 +248,77 @@ LIMIT {BM25_TOP_K}
 BM25_SEARCH_SQL = _bm25_sql()
 
 
+# ---------------------------------------------------------------------------
+# deterministic stratified sampling
+# ---------------------------------------------------------------------------
+
+#: per-stratum keep rates: source index 0-4 keep all, 5-9 half,
+#: 10-14 quarter, 15+ a tenth — the importance-resampling shape of
+#: training-data mixes (keep high-value strata, downsample the tail)
+SAMPLE_RATES = ((5, 1.0), (10, 0.5), (15, 0.25), (10**9, 0.1))
+
+
+def _rate_thresholds():
+    """Each rate as an 8-hex-digit threshold: keep iff the first 8 md5
+    hex chars of the doc key compare lexicographically below it.
+    String comparison of lowercase hex is engine-neutral — no integer
+    parse of hex needed (Spark's conv() and DuckDB's hex casts
+    disagree on types, strings don't)."""
+    out = []
+    for bound, rate in SAMPLE_RATES:
+        t = min(int(rate * 2**32), 2**32 - 1) if rate < 1.0 else 2**32 - 1
+        out.append((bound, format(t, "08x") if rate < 1.0 else "g" * 8))
+        # "gggggggg" sorts above every hex digit -> rate 1.0 keeps all
+    return out
+
+
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-threshold sampling per source stratum: one
+    map-side pass, zero shuffle, reproducible across runs/engines
+    (md5 of the doc key, not rand()).  At any corpus size the sample
+    decision is embarrassingly parallel and restart-stable — the
+    property replayable training-data pipelines need."""
+    docs = load(spark, sf_dir, "documents", parallelize=True)
+    src_idx = F.expr("CAST(substring(source, 4) AS INT)")
+    u8 = F.expr("substring(md5(CAST(doc_id AS STRING)), 1, 8)")
+    thr = None
+    for bound, hexthr in reversed(_rate_thresholds()):
+        lit = F.lit(hexthr)
+        thr = lit if thr is None else F.when(src_idx < bound, lit).otherwise(thr)
+    return docs.select(
+        "doc_id",
+        "source",
+        u8.alias("u8"),
+        (u8 < thr).cast("int").alias("keep"),
+    )
+
+
+def _sample_sql() -> str:
+    cases = []
+    for bound, hexthr in _rate_thresholds():
+        cases.append(f"WHEN CAST(substring(source, 4) AS INT) < {bound}"
+                     f" THEN '{hexthr}'")
+    case = "CASE " + " ".join(cases) + " END"
+    return f"""
+SELECT doc_id, source,
+       substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS u8,
+       CAST(substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < {case}
+            AS INT) AS keep
+FROM documents
+"""
+
+
+SAMPLE_STRATIFIED_SQL = _sample_sql()
+
+
 QUERIES = {
     "corpus_quality_filter": corpus_quality_filter,
     "bm25_search": bm25_search,
+    "sample_stratified": sample_stratified,
 }
 
 ORACLES = {
     "corpus_quality_filter": QUALITY_FILTER_SQL,
     "bm25_search": BM25_SEARCH_SQL,
+    "sample_stratified": SAMPLE_STRATIFIED_SQL,
 }

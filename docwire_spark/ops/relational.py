@@ -360,6 +360,92 @@ QUALIFY rnk <= 3
 """
 
 
+# ---------------------------------------------------------------------------
+# as-of join (attribution): for each purchase, the latest click by the
+# same user at or before the purchase timestamp.  Spark has no ASOF
+# JOIN operator; the scalable formulation is the union trick — tag
+# both sides, ONE shuffle on user_id, and a running last_value(...
+# IGNORE NULLS) window carries the most recent click forward.  No
+# range-join explosion, no per-key collect: state per window row is
+# O(1), so the plan survives 10^12 events as a single sort-shuffle.
+# The DuckDB oracle uses the SAME ANSI window formulation (not ASOF
+# JOIN, whose equal-timestamp tie choice is engine-defined); ordering
+# is tie-proofed by (ts, kind click<purchase, event_id) and every
+# output column is an exact integer (epoch microseconds).
+# ---------------------------------------------------------------------------
+
+
+def events_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    from pyspark.sql import Window
+
+    # epoch micros via timestampdiff from a fixed NTZ epoch: exact
+    # integers, independent of the session timezone (ts is
+    # TIMESTAMP_NTZ; unix_* functions would coerce through the
+    # session zone)
+    ts_us = "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)"
+    tagged = ev.select(
+        "user_id", "event_id",
+        F.expr(ts_us).alias("ts_us"),
+        (F.col("event_type") == "purchase").cast("int").alias("is_tgt"),
+        F.when(F.col("event_type") == "click", F.col("event_id")).alias(
+            "click_id_src"
+        ),
+        F.when(F.col("event_type") == "click", F.expr(ts_us)).alias(
+            "click_us_src"
+        ),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "is_tgt", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        tagged.withColumn(
+            "click_id", F.last("click_id_src", ignorenulls=True).over(w)
+        )
+        .withColumn(
+            "click_us", F.last("click_us_src", ignorenulls=True).over(w)
+        )
+        .filter(F.col("is_tgt") == 1)
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts_us").alias("purchase_us"),
+            "click_id",
+            "click_us",
+            (F.col("ts_us") - F.col("click_us")).alias("gap_us"),
+        )
+    )
+
+
+EVENTS_ASOF_SQL = """
+WITH tagged AS (
+  SELECT user_id, event_id,
+         epoch_us(ts) AS ts_us,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_tgt,
+         CASE WHEN event_type = 'click' THEN event_id END AS click_id_src,
+         CASE WHEN event_type = 'click' THEN epoch_us(ts) END AS click_us_src
+  FROM events
+  WHERE event_type IN ('click', 'purchase')
+), w AS (
+  SELECT *,
+         last_value(click_id_src IGNORE NULLS) OVER
+           (PARTITION BY user_id ORDER BY ts_us, is_tgt, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS click_id,
+         last_value(click_us_src IGNORE NULLS) OVER
+           (PARTITION BY user_id ORDER BY ts_us, is_tgt, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS click_us
+  FROM tagged
+)
+SELECT event_id AS purchase_id, user_id, ts_us AS purchase_us,
+       click_id, click_us, ts_us - click_us AS gap_us
+FROM w WHERE is_tgt = 1
+"""
+
+
 QUERIES = {
     "events_by_type": events_by_type,
     "events_user_sessions": events_user_sessions,
@@ -369,6 +455,7 @@ QUERIES = {
     "source_salted_agg": source_salted_agg,
     "orders_by_nation": orders_by_nation,
     "pricing_summary": pricing_summary,
+    "events_asof_attribution": events_asof_attribution,
 }
 
 ORACLES = {
@@ -380,4 +467,5 @@ ORACLES = {
     "source_salted_agg": SOURCE_SALTED_AGG_SQL,
     "orders_by_nation": ORDERS_BY_NATION_SQL,
     "pricing_summary": PRICING_SUMMARY_SQL,
+    "events_asof_attribution": EVENTS_ASOF_SQL,
 }
