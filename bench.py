@@ -53,6 +53,7 @@ HEADLINE = [
     # similarity search
     "similarity_topk",
     "similarity_ann_lsh",
+    "similarity_ann_ivf",
     # multimodal plumbing
     "multimodal_meta",
     "multimodal_frames",
