@@ -43,6 +43,7 @@ HEADLINE = [
     "corpus_quality_filter",
     "bm25_search",
     "sample_stratified",
+    "decontaminate",
     # dedup (scale paths only)
     "dedup_exact",
     "dedup_minhash_lsh",

@@ -311,14 +311,120 @@ FROM documents
 SAMPLE_STRATIFIED_SQL = _sample_sql()
 
 
+# ---------------------------------------------------------------------------
+# benchmark decontamination (train/eval n-gram overlap — the GPT-3 /
+# PaLM appendix-style leakage check: flag training documents sharing
+# any DECON_N-token n-gram with the held-out eval slice)
+# ---------------------------------------------------------------------------
+
+DECON_N = 8           # the standard 8-gram decontamination window
+DECON_EVAL_MOD = 10   # eval slice: doc_id % 10 == 7 (deterministic stand-in
+DECON_EVAL_REM = 7    # for a real benchmark table at the same join shape)
+
+#: overlapping DECON_N-token n-grams
+_NGRAMS_EXPR = (
+    f"CASE WHEN size(tokens) >= {DECON_N} THEN"
+    f" transform(sequence(0, size(tokens) - {DECON_N}),"
+    f" i -> array_join(slice(tokens, i + 1, {DECON_N}), ' '))"
+    " ELSE array() END"
+)
+
+
+def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-training-document contamination stats against the eval
+    slice.
+
+    Scale shape: explode both sides to slim (doc_id, ngram) rows;
+    the eval n-gram set is distinct-ed (shuffle on ngram) and joined
+    to the distinct train rows by an equi-join on the ngram key —
+    the same distributed topology whatever the eval corpus is.  No
+    broadcast hint: the eval set is O(eval corpus), so the hint is
+    left to AQE's measured size (tiny eval sets still broadcast at
+    runtime; a big one degrades to the bucketed shuffle join).
+    contam_frac is an exact int/int double division — bit-identical
+    across engines, no rounding needed."""
+    docs = with_tokens(load(spark, sf_dir, "documents", parallelize=True))
+    is_eval = (F.col("doc_id") % DECON_EVAL_MOD) == DECON_EVAL_REM
+    ex = docs.select(
+        "doc_id", is_eval.alias("is_eval"),
+        F.explode_outer(F.expr(_NGRAMS_EXPR)).alias("ng"),
+    )
+    eval_ng = ex.filter("is_eval AND ng IS NOT NULL").select("ng").distinct()
+    train = (
+        ex.filter("NOT is_eval AND ng IS NOT NULL")
+        .select("doc_id", "ng").distinct()
+    )
+    per_doc = train.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_ngrams")
+    )
+    hits = (
+        train.join(eval_ng, "ng")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("bigint").alias("n_contaminated"))
+    )
+    return (
+        docs.filter(~is_eval).select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_ngrams", F.lit(0)).cast("bigint").alias("n_ngrams"),
+            F.coalesce("n_contaminated", F.lit(0))
+            .cast("bigint").alias("n_contaminated"),
+            F.when(
+                F.coalesce("n_ngrams", F.lit(0)) > 0,
+                F.coalesce("n_contaminated", F.lit(0)).cast("double")
+                / F.col("n_ngrams"),
+            ).otherwise(F.lit(0.0)).alias("contam_frac"),
+            (F.coalesce("n_contaminated", F.lit(0)) > 0)
+            .cast("int").alias("contaminated"),
+        )
+    )
+
+
+DECONTAMINATE_SQL = f"""
+WITH t AS (
+  SELECT doc_id, {TOKENS_SQL} AS tokens FROM documents
+), ex AS (
+  SELECT doc_id, (doc_id % {DECON_EVAL_MOD}) = {DECON_EVAL_REM} AS is_eval,
+         unnest(list_transform(range(len(tokens) - {DECON_N - 1}),
+                i -> list_reduce(tokens[(i + 1):(i + {DECON_N})],
+                                 (a, b) -> a || ' ' || b))) AS ng
+  FROM t WHERE len(tokens) >= {DECON_N}
+), ev AS (
+  SELECT DISTINCT ng FROM ex WHERE is_eval
+), tr AS (
+  SELECT DISTINCT doc_id, ng FROM ex WHERE NOT is_eval
+), per_doc AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_ngrams FROM tr GROUP BY doc_id
+), hits AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_contaminated
+  FROM tr JOIN ev USING (ng) GROUP BY doc_id
+)
+SELECT t.doc_id,
+       coalesce(n_ngrams, 0) AS n_ngrams,
+       coalesce(n_contaminated, 0) AS n_contaminated,
+       CASE WHEN coalesce(n_ngrams, 0) > 0
+            THEN CAST(coalesce(n_contaminated, 0) AS DOUBLE) / n_ngrams
+            ELSE 0.0 END AS contam_frac,
+       CAST(coalesce(n_contaminated, 0) > 0 AS INT) AS contaminated
+FROM t
+LEFT JOIN per_doc USING (doc_id)
+LEFT JOIN hits USING (doc_id)
+WHERE (t.doc_id % {DECON_EVAL_MOD}) <> {DECON_EVAL_REM}
+"""
+
+
 QUERIES = {
     "corpus_quality_filter": corpus_quality_filter,
     "bm25_search": bm25_search,
     "sample_stratified": sample_stratified,
+    "decontaminate": decontaminate,
 }
 
 ORACLES = {
     "corpus_quality_filter": QUALITY_FILTER_SQL,
     "bm25_search": BM25_SEARCH_SQL,
     "sample_stratified": SAMPLE_STRATIFIED_SQL,
+    "decontaminate": DECONTAMINATE_SQL,
 }

@@ -97,6 +97,36 @@ def test_bm25_matches_reference_formula(spark):
     assert [(r["score"], r["doc_id"]) for r in got] == expected
 
 
+def test_decontaminate_semantics(spark, tmp_path_factory):
+    """Crafted corpus: doc 7 is the eval slice; doc 0 shares one of
+    its 8-grams (shifted position — overlap is positional-independent),
+    doc 1 shares none, doc 2 is too short for any 8-gram."""
+    import os as _os
+
+    from docwire_spark.ops.corpus_filter import decontaminate
+
+    d = str(tmp_path_factory.mktemp("decon"))
+    leak = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    rows = [
+        (7, f"prefix words here {leak} suffix words"),      # eval doc
+        (0, f"{leak} completely different tail tokens go here now"),
+        (1, "no overlap at all in this training document text body ok"),
+        (2, "too short"),
+    ]
+    spark.createDataFrame(rows, "doc_id bigint, text string").coalesce(
+        1
+    ).write.parquet(_os.path.join(d, "documents.parquet"))
+
+    got = {
+        r["doc_id"]: (r["n_ngrams"], r["n_contaminated"], r["contaminated"])
+        for r in decontaminate(spark, d).collect()
+    }
+    assert set(got) == {0, 1, 2}          # eval doc 7 excluded
+    assert got[0][1] == 1 and got[0][2] == 1
+    assert got[1] == (got[1][0], 0, 0) and got[1][0] > 0
+    assert got[2] == (0, 0, 0)
+
+
 def test_bm25_stats_join_is_broadcast_topk_no_global_sort(spark):
     from docwire_spark.ops.corpus_filter import bm25_search
 
