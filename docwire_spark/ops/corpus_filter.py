@@ -54,9 +54,14 @@ _STOP_EN = "'the','a','and','of','to','in','is','it','on','for'"
 # expression fragments shared verbatim between the Spark plan and the
 # DuckDB oracle modulo function-name spelling, so the double
 # arithmetic trees are identical
+# the CASE guard matters: Spark's sequence(1, 0) yields a DESCENDING
+# [1, 0] (not empty like SQL generate_series), so the unguarded form
+# crashes element_at on 0/1-token documents
 _BIGRAMS = (
-    "transform(sequence(1, greatest(size(tokens) - 1, 0)),"
+    "CASE WHEN size(tokens) >= 2 THEN"
+    " transform(sequence(1, size(tokens) - 1),"
     " i -> concat(element_at(tokens, i), ' ', element_at(tokens, i + 1)))"
+    " ELSE array() END"
 )
 
 
@@ -69,30 +74,42 @@ def corpus_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum_len = F.expr(
         "aggregate(transform(tokens, t -> length(t)), 0L, (acc, x) -> acc + x)"
     )
-    avg_len = sum_len.cast("double") / n_tok
+    # divisions guarded by n_tok > 0: ANSI mode (Spark 4 default)
+    # raises DIVIDE_BY_ZERO instead of returning NULL, so an empty
+    # document would otherwise kill the whole job
+    avg_len = F.when(n_tok > 0, sum_len.cast("double") / n_tok)
     stops = F.expr(f"size(filter(tokens, t -> t IN ({_STOP_EN})))")
-    short_frac = (
-        F.expr("size(filter(tokens, t -> length(t) = 1))").cast("double") / n_tok
+    short_frac = F.when(
+        n_tok > 0,
+        F.expr("size(filter(tokens, t -> length(t) = 1))").cast("double")
+        / n_tok,
     )
     n_bg = F.size("bg")
     top_bg = F.expr(
         "coalesce(array_max(transform(array_distinct(bg),"
         " b -> size(filter(bg, x -> x = b)))), 0)"
     )
-    r_len = (
-        (n_tok >= MIN_TOKENS) & (n_tok <= MAX_TOKENS)
-    ).cast("int").alias("pass_n_tokens")
-    r_avg = (
-        (avg_len >= MIN_AVG_TOKEN_LEN) & (avg_len <= MAX_AVG_TOKEN_LEN)
-    ).cast("int").alias("pass_avg_token_len")
-    r_stop = (stops >= MIN_STOPWORDS).cast("int").alias("pass_stopwords")
-    r_short = (short_frac <= MAX_SHORT_TOKEN_FRAC).cast("int").alias(
-        "pass_short_tokens"
+    # flags coalesce NULL -> 0 so empty/NULL-text documents fail every
+    # rule instead of propagating NULL into keep (size(NULL tokens)
+    # and 0/0 divisions yield NULL in Spark)
+    def _flag(cond, name):
+        return F.coalesce(cond.cast("int"), F.lit(0)).alias(name)
+
+    r_len = _flag(
+        (n_tok >= MIN_TOKENS) & (n_tok <= MAX_TOKENS), "pass_n_tokens"
     )
-    r_bg = (
-        (n_bg == 0)
-        | (top_bg.cast("double") / n_bg <= MAX_TOP_BIGRAM_FRAC)
-    ).cast("int").alias("pass_top_bigram")
+    r_avg = _flag(
+        (avg_len >= MIN_AVG_TOKEN_LEN) & (avg_len <= MAX_AVG_TOKEN_LEN),
+        "pass_avg_token_len",
+    )
+    r_stop = _flag(stops >= MIN_STOPWORDS, "pass_stopwords")
+    r_short = _flag(short_frac <= MAX_SHORT_TOKEN_FRAC, "pass_short_tokens")
+    r_bg = _flag(
+        F.when(n_bg == 0, F.lit(True)).otherwise(
+            top_bg.cast("double") / n_bg <= MAX_TOP_BIGRAM_FRAC
+        ),
+        "pass_top_bigram",
+    )
     out = docs.select("doc_id", r_len, r_avg, r_stop, r_short, r_bg)
     keep = (
         F.col("pass_n_tokens") * F.col("pass_avg_token_len")

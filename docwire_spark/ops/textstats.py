@@ -30,11 +30,15 @@ def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("tokens").cast("bigint").alias("n_tokens"),
         F.length("text").cast("bigint").alias("n_chars"),
         F.round(
-            F.expr(
-                "aggregate(transform(tokens, t -> length(t)), 0L,"
-                " (acc, x) -> acc + x)"
-            ).cast("double")
-            / F.size("tokens"),
+            # guard: ANSI mode raises on /0 for an empty document
+            F.when(
+                F.size("tokens") > 0,
+                F.expr(
+                    "aggregate(transform(tokens, t -> length(t)), 0L,"
+                    " (acc, x) -> acc + x)"
+                ).cast("double")
+                / F.size("tokens"),
+            ),
             6,
         ).alias("avg_token_len"),
         F.size(F.expr(BPE_EXPR)).cast("bigint").alias("n_bpe_tokens"),
@@ -65,15 +69,20 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_chars = F.length("text")
     n_punct = n_chars - F.length(F.regexp_replace("text", "[.,]", ""))
     n_digit = n_chars - F.length(F.regexp_replace("text", "[0-9]", ""))
-    stop_ratio = n_stop.cast("double") / n_tok
+    # /0 guards: ANSI mode (Spark 4 default) raises instead of NULL
+    stop_ratio = F.when(n_tok > 0, n_stop.cast("double") / n_tok)
     length_factor = F.when(n_tok >= 10, F.lit(1.0)).otherwise(
         n_tok.cast("double") / 10.0
     )
     return docs.select(
         "doc_id",
         F.round(stop_ratio, 6).alias("stop_ratio"),
-        F.round(n_punct.cast("double") / n_chars, 6).alias("punct_ratio"),
-        F.round(n_digit.cast("double") / n_chars, 6).alias("digit_ratio"),
+        F.round(
+            F.when(n_chars > 0, n_punct.cast("double") / n_chars), 6
+        ).alias("punct_ratio"),
+        F.round(
+            F.when(n_chars > 0, n_digit.cast("double") / n_chars), 6
+        ).alias("digit_ratio"),
         F.round(
             F.least(F.lit(1.0), (F.lit(0.2) + stop_ratio * 2.0) * length_factor),
             6,
@@ -209,9 +218,14 @@ FROM t
 # fractions are the standard repetition filters for web training data)
 # ---------------------------------------------------------------------------
 
+# the CASE guard matters: Spark's sequence(1, 0) yields a DESCENDING
+# [1, 0] (not empty like SQL generate_series), so the unguarded form
+# crashes element_at on 0/1-token documents
 _BIGRAMS_EXPR = (
-    "transform(sequence(1, greatest(size(tokens) - 1, 0)),"
+    "CASE WHEN size(tokens) >= 2 THEN"
+    " transform(sequence(1, size(tokens) - 1),"
     " i -> concat(element_at(tokens, i), ' ', element_at(tokens, i + 1)))"
+    " ELSE array() END"
 )
 
 

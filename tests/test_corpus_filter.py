@@ -97,6 +97,34 @@ def test_bm25_matches_reference_formula(spark):
     assert [(r["score"], r["doc_id"]) for r in got] == expected
 
 
+def test_degenerate_documents_never_crash(spark, tmp_path_factory):
+    """Empty/NULL/1-token documents: Spark's sequence(1, 0) is
+    DESCENDING (crashes unguarded bigram element_at) and ANSI mode
+    raises on /0 — both killed whole jobs before the guards.  The
+    quality filter must reject such docs (keep=0), never error."""
+    import os as _os
+
+    from docwire_spark.ops.corpus_filter import corpus_quality_filter
+    from docwire_spark.ops.textstats import (
+        quality_score, repetition, token_stats,
+    )
+
+    d = str(tmp_path_factory.mktemp("edgedocs"))
+    rows = [(0, "regular document text body here ok"), (1, ""), (2, None),
+            (3, "x")]
+    spark.createDataFrame(rows, "doc_id bigint, text string").coalesce(
+        1
+    ).write.parquet(_os.path.join(d, "documents.parquet"))
+
+    keeps = {
+        r["doc_id"]: r["keep"]
+        for r in corpus_quality_filter(spark, d).collect()
+    }
+    assert keeps[1] == 0 and keeps[2] == 0 and keeps[3] == 0
+    for fn in (repetition, token_stats, quality_score):
+        assert len(fn(spark, d).collect()) == 4  # no crash, all rows
+
+
 def test_decontaminate_semantics(spark, tmp_path_factory):
     """Crafted corpus: doc 7 is the eval slice; doc 0 shares one of
     its 8-grams (shifted position — overlap is positional-independent),
