@@ -273,12 +273,16 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             "gb",
         )
         .withColumn("n_inter", F.size(F.array_intersect("sha", "shb")))
+        .withColumn("n_union", F.size("sha") + F.size("shb") - F.col("n_inter"))
         .withColumn(
+            # union=0 guard (two empty-token docs): ANSI mode raises
+            # on /0; NULL jaccard drops the pair at the filter below
             "jaccard",
-            F.round(
-                F.col("n_inter").cast("double")
-                / (F.size("sha") + F.size("shb") - F.col("n_inter")),
-                6,
+            F.when(
+                F.col("n_union") > 0,
+                F.round(
+                    F.col("n_inter").cast("double") / F.col("n_union"), 6
+                ),
             ),
         )
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
@@ -400,12 +404,16 @@ def dedup_jaccard_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.crossJoin(b)
         .filter(F.col("doc_a") < F.col("doc_b"))
         .withColumn("n_inter", F.size(F.array_intersect("sha", "shb")))
+        .withColumn("n_union", F.size("sha") + F.size("shb") - F.col("n_inter"))
         .withColumn(
+            # union=0 guard (two empty-token docs): ANSI mode raises
+            # on /0; NULL jaccard drops the pair at the filter below
             "jaccard",
-            F.round(
-                F.col("n_inter").cast("double")
-                / (F.size("sha") + F.size("shb") - F.col("n_inter")),
-                6,
+            F.when(
+                F.col("n_union") > 0,
+                F.round(
+                    F.col("n_inter").cast("double") / F.col("n_union"), 6
+                ),
             ),
         )
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
@@ -708,9 +716,12 @@ def _emb_band_batches(iterator):
 # tree exceeds the codegen method budget and falls back to
 # interpreted eval, slower than the lambda).  The lambda form wins and
 # is also the form whose left-fold order the DuckDB oracle replicates.
+# zero-norm guard: ANSI mode raises on /0, so a single all-zero
+# vector would kill the job; NULL cos_sim drops the pair downstream
 _COS = (
-    "round(aggregate(zip_with(qv, nv, (x, y) -> x * y), 0D,"
-    " (acc, x) -> acc + x) / (qnorm * nnorm), 6)"
+    "CASE WHEN qnorm * nnorm > 0 THEN"
+    " round(aggregate(zip_with(qv, nv, (x, y) -> x * y), 0D,"
+    " (acc, x) -> acc + x) / (qnorm * nnorm), 6) END"
 )
 NORM_CODEGEN = "sqrt(aggregate(v, 0D, (acc, x) -> acc + x * x))"
 

@@ -241,8 +241,9 @@ IVF_TOPK = 5
 IVF_N_QUERIES = 20
 
 _COS_CENT = (
-    "round(aggregate(zip_with(v, cv, (x, y) -> x * y), 0D,"
-    " (acc, x) -> acc + x) / (norm * cnorm), 6)"
+    "CASE WHEN norm * cnorm > 0 THEN"
+    " round(aggregate(zip_with(v, cv, (x, y) -> x * y), 0D,"
+    " (acc, x) -> acc + x) / (norm * cnorm), 6) END"
 )
 
 
