@@ -51,6 +51,7 @@ HEADLINE = [
     "dedup_simhash_pairs",
     "dedup_embedding",
     "dedup_chunk_exact",
+    "dedup_components",
     # similarity search
     "similarity_topk",
     "similarity_ann_lsh",
