@@ -40,6 +40,7 @@ HEADLINE = [
     "text_lang_id",
     "text_fingerprint",
     "text_repetition",
+    "text_ngram_topk",
     "corpus_quality_filter",
     "bm25_search",
     "sample_stratified",

@@ -284,12 +284,69 @@ FROM b
 """
 
 
+# ---------------------------------------------------------------------------
+# corpus-level n-gram frequency table (top-k)
+# ---------------------------------------------------------------------------
+
+NGRAM_N = 3
+NGRAM_TOPK = 100
+
+
+def ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-k token trigram counts — the vocabulary /
+    frequency-table pass of a training-data pipeline.
+
+    Scale shape: the explode stays map-side; groupBy(ngram).count()
+    partial-aggregates per partition BEFORE the shuffle (Zipfian hot
+    n-grams collapse to one row per partition — hash-agg map-side
+    combine is the skew defense here, no salting needed because the
+    combine runs before the exchange); the top-k is a TakeOrdered, not
+    a full sort.  Ties broken by ngram text so the result is a total
+    order (hash-stable across engines)."""
+    docs = with_tokens(load(spark, sf_dir, "documents", parallelize=True))
+    grams = docs.select(
+        F.explode(
+            F.when(
+                F.size("tokens") >= NGRAM_N,
+                F.expr(
+                    f"transform(sequence(0, size(tokens) - {NGRAM_N}),"
+                    f" i -> concat_ws(' ', slice(tokens, i + 1, {NGRAM_N})))"
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("ngram")
+    )
+    return (
+        grams.groupBy("ngram")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("ngram"))
+        .limit(NGRAM_TOPK)
+    )
+
+
+NGRAM_TOPK_SQL = f"""
+WITH t AS (
+  SELECT {TOKENS_SQL} AS tokens FROM documents
+), g AS (
+  SELECT list_reduce(tokens[(i + 1):(i + {NGRAM_N})],
+                     (a, b) -> a || ' ' || b) AS ngram
+  FROM t, unnest(range(CASE WHEN len(tokens) >= {NGRAM_N}
+                            THEN len(tokens) - {NGRAM_N} + 1
+                            ELSE 0 END)) AS u(i)
+)
+SELECT ngram, CAST(count(*) AS BIGINT) AS cnt
+FROM g GROUP BY ngram
+ORDER BY cnt DESC, ngram
+LIMIT {NGRAM_TOPK}
+"""
+
+
 QUERIES = {
     "text_token_stats": token_stats,
     "text_quality": quality_score,
     "text_lang_id": lang_id,
     "text_fingerprint": fingerprint,
     "text_repetition": repetition,
+    "text_ngram_topk": ngram_topk,
 }
 
 ORACLES = {
@@ -298,4 +355,5 @@ ORACLES = {
     "text_lang_id": LANG_ID_SQL,
     "text_fingerprint": FINGERPRINT_SQL,
     "text_repetition": REPETITION_SQL,
+    "text_ngram_topk": NGRAM_TOPK_SQL,
 }

@@ -147,3 +147,17 @@ def test_text_stats_stay_jvm_side(spark):
         plan = _plan(fn(spark, SF_DIR))
         assert "BatchEvalPython" not in plan, name
         assert "ArrowEvalPython" not in plan, name
+
+
+def test_ngram_topk_partial_agg_and_takeordered(spark):
+    """Corpus n-gram counting must partial-aggregate map-side BEFORE
+    the exchange (the skew defense for Zipfian hot n-grams) and take
+    the top-k without a global sort."""
+    from docwire_spark.ops.textstats import ngram_topk
+
+    plan = _plan(ngram_topk(spark, SF_DIR))
+    assert "partial_count" in plan
+    assert plan.index("partial_count") > plan.index("Exchange hashpartitioning")
+    assert "TakeOrderedAndProject" in plan
+    # exactly one shuffle: the aggregation exchange
+    assert plan.count("Exchange hashpartitioning") == 1
