@@ -179,13 +179,96 @@ def stream_dedup_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out_dir).select("host", "fp").distinct()
 
 
+#: NTZ -> epoch µs (session-tz-proof; events.ts is TIMESTAMP_NTZ and
+#: watermarks require TIMESTAMP, so the instant conversion is explicit)
+_NTZ_US = "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)"
+
+
+def stream_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window aggregation — the canonical
+    Structured Streaming pattern for late data — under the full
+    oracle gate: events stream from a parquet drop directory, a
+    30-minute watermark bounds state, 1-hour windows aggregate counts
+    and scaled-integer value cents (order-independent sums — double
+    sums are partition-order-dependent and would break the
+    cross-engine hash), append mode emits a window only once its end
+    passes the final watermark (max event time - 30 min; the no-data
+    micro-batch availableNow runs last performs the flush).  The
+    DuckDB oracle models exactly that emission rule with time_bucket.
+
+    The drop is consumed as ONE batch here because the parallel
+    parquet write cannot guarantee file modification-time order —
+    per-file triggers would make watermark late-drops depend on write
+    timing.  tests/test_stream_windowed.py drives the multi-batch +
+    genuinely-late-row semantics with controlled file mod times."""
+    events = load(spark, sf_dir, "events").select(
+        "event_type", "value",
+        F.expr(f"timestamp_micros({_NTZ_US})").alias("ts"),
+    )
+    drop_dir = tempfile.mkdtemp(prefix="stream_win_src_")
+    chk_dir = tempfile.mkdtemp(prefix="stream_win_chk_")
+    events.repartitionByRange(4, "ts").write.mode("overwrite").parquet(
+        drop_dir
+    )
+    stream = (
+        spark.readStream.schema("event_type string, value double,"
+                                " ts timestamp")
+        .format("parquet")
+        .load(drop_dir)
+    )
+    win = (
+        stream.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)"))
+            .alias("value_cents"),
+        )
+    )
+    out = win.select(
+        F.unix_micros("w.start").alias("ws_us"),
+        F.unix_micros("w.end").alias("we_us"),
+        "event_type", "n_events", "value_cents",
+    )
+    sink = f"stream_win_sink_{next(_SINK_IDS)}_{os.getpid()}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(sink)
+        .option("checkpointLocation", os.path.join(chk_dir, "chk"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
+
+
+STREAM_EVENTS_WINDOWED_SQL = """
+WITH mx AS (SELECT max(ts) AS m FROM events),
+b AS (
+  SELECT time_bucket(INTERVAL 1 HOUR, ts) AS ws, event_type,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS value_cents
+  FROM events GROUP BY 1, 2
+)
+SELECT epoch_us(ws) AS ws_us,
+       epoch_us(ws + INTERVAL 1 HOUR) AS we_us,
+       event_type, n_events, value_cents
+FROM b, mx
+WHERE ws + INTERVAL 1 HOUR <= m - INTERVAL 30 MINUTE
+"""
+
+
 QUERIES = {
     "extract_stream_plain": extract_stream_plain,
     "stream_dedup_stateful": stream_dedup_stateful,
     "stream_dedup_native": stream_dedup_native,
+    "stream_events_windowed": stream_events_windowed,
 }
 ORACLES = {
     "extract_stream_plain": EXTRACT_STREAM_PLAIN_SQL,
     "stream_dedup_stateful": STREAM_DEDUP_STATEFUL_SQL,
     "stream_dedup_native": STREAM_DEDUP_STATEFUL_SQL,
+    "stream_events_windowed": STREAM_EVENTS_WINDOWED_SQL,
 }
