@@ -956,6 +956,71 @@ FROM t LEFT JOIN per_doc USING (doc_id)
 """
 
 
+def dedup_chunk_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The chunk-dedup TRANSFORM (not just stats): emit each document's
+    text rebuilt from only its surviving chunks (keep-first corpus-wide,
+    same policy as dedup_chunk_exact) — what a training-data pipeline
+    actually writes back out.
+
+    Scale shape: same slim chunk-occurrence shuffle as
+    dedup_chunk_exact, then order-preserving reconstruction WITHOUT a
+    sort-within-groups shuffle: collect_list(struct(i, chunk)) per doc
+    and array_sort locally — per-document state only, so group size is
+    bounded by document length, never corpus size."""
+    from pyspark.sql import Window
+
+    docs = with_tokens(load(spark, sf_dir, "documents", parallelize=True))
+    occ = docs.select(
+        "doc_id", F.posexplode(F.expr(_CHUNKS_EXPR)).alias("i", "chunk")
+    )
+    w_rn = Window.partitionBy("chunk").orderBy("doc_id", "i")
+    kept = (
+        occ.withColumn("rn", F.row_number().over(w_rn))
+        .filter(F.col("rn") == 1)
+    )
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.expr("transform(array_sort(collect_list(struct(i, chunk))),"
+                   " s -> s.chunk)"),
+            " ",
+        ).alias("clean_text"),
+        F.count("*").cast("bigint").alias("n_kept_chunks"),
+    )
+    return (
+        docs.select("doc_id")
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_kept_chunks", F.lit(0))
+            .cast("bigint").alias("n_kept_chunks"),
+        )
+    )
+
+
+DEDUP_CHUNK_REWRITE_SQL = f"""
+WITH t AS (
+  SELECT doc_id, {TOKENS_SQL} AS tokens FROM documents
+), occ AS (
+  SELECT doc_id, i,
+         list_reduce(tokens[(i * {CHUNK_K} + 1):(i * {CHUNK_K} + {CHUNK_K})],
+                     (a, b) -> a || ' ' || b) AS chunk
+  FROM t, unnest(range(CAST(floor(len(tokens) / {CHUNK_K}) AS BIGINT))) AS u(i)
+), s AS (
+  SELECT doc_id, i, chunk,
+         row_number() OVER (PARTITION BY chunk ORDER BY doc_id, i) AS rn
+  FROM occ
+), r AS (
+  SELECT doc_id, string_agg(chunk, ' ' ORDER BY i) AS clean_text,
+         CAST(count(*) AS BIGINT) AS n_kept_chunks
+  FROM s WHERE rn = 1 GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(r.clean_text, '') AS clean_text,
+       coalesce(r.n_kept_chunks, 0) AS n_kept_chunks
+FROM documents d LEFT JOIN r USING (doc_id)
+"""
+
 # ---------------------------------------------------------------------------
 # connected components over the near-dup graph (cluster dedup)
 # ---------------------------------------------------------------------------
@@ -1104,6 +1169,7 @@ QUERIES = {
     "dedup_simhash_pairs": dedup_simhash_pairs,
     "dedup_embedding": dedup_embedding,
     "dedup_chunk_exact": dedup_chunk_exact,
+    "dedup_chunk_rewrite": dedup_chunk_rewrite,
     "dedup_components": dedup_components,
 }
 
@@ -1115,5 +1181,6 @@ ORACLES = {
     "dedup_simhash_pairs": DEDUP_SIMHASH_PAIRS_SQL,
     "dedup_embedding": DEDUP_EMBEDDING_SQL,
     "dedup_chunk_exact": DEDUP_CHUNK_SQL,
+    "dedup_chunk_rewrite": DEDUP_CHUNK_REWRITE_SQL,
     "dedup_components": DEDUP_COMPONENTS_SQL,
 }

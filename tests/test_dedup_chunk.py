@@ -60,3 +60,20 @@ def test_chunk_dedup_conservation(spark, chunk_dir):
     ).collect()[0]
     assert agg["kept"] == 3    # {"a b c d e", "f g h i j", "x y z w q"}
     assert agg["total"] == 6
+
+
+def test_chunk_rewrite_outputs_cleaned_text(spark, chunk_dir):
+    """The rewrite transform keeps surviving chunks in original order
+    and drops the <CHUNK_K-token tail (both engines model the same)."""
+    from docwire_spark.ops.dedup import dedup_chunk_rewrite
+
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_kept_chunks"])
+        for r in dedup_chunk_rewrite(spark, chunk_dir).collect()
+    }
+    assert got == {
+        0: ("a b c d e f g h i j", 2),   # first occurrence: all kept
+        1: ("", 0),                      # exact dup: fully removed
+        2: ("x y z w q", 1),             # shared chunk gone, unique kept
+        3: ("", 0),                      # no full chunk to keep
+    }
