@@ -95,6 +95,56 @@ def release_persisted() -> None:
             pass
 
 
+def let_expr(binding: str, var: str, body: str) -> str:
+    """SQL "let": evaluate ``binding`` ONCE per row and bind it to
+    lambda variable ``var`` inside ``body``.
+
+    This is a barrier against a Catalyst alias-substitution hazard:
+    filter pushdown (and project collapse) substitutes an alias's
+    defining expression into every reference — INCLUDING references
+    inside higher-order-function lambda bodies, where the substituted
+    expression is then re-evaluated PER ELEMENT.  Composing e.g.
+    ``corpus_quality_filter(...).filter("keep = 1")`` inlined
+    ``tokens = regexp_extract_all(text, ...)`` into the bigram
+    lambda ``i -> concat(element_at(tokens, i), ...)``, turning an
+    O(n) pass into O(n^2) full-regex re-tokenizations per document —
+    observed as a single 260 KB crawl page pinning an executor core
+    for ~8 minutes (jstack: RegExpExtractAll inside ArrayTransform
+    inside the pushed GeneratedClass$SpecificPredicate).
+
+    ``element_at(transform(array(binding), var -> body), 1)`` fixes
+    the class of bug structurally: ``binding`` sits in an ARGUMENT
+    position (evaluated once per row no matter what gets inlined) and
+    lambda variables are not attributes, so no optimizer rule can
+    substitute into the body.  Use for every lambda body that needs
+    to reference a non-trivial outer column (token arrays, etc.)."""
+    return f"element_at(transform(array({binding}), {var} -> {body}), 1)"
+
+
+def max_multiplicity_expr(arr: str) -> str:
+    """Spark SQL expression: the max multiplicity of any element in
+    ``arr`` (0 for empty), computed LINEARLY as the longest
+    equal-adjacent run of the sorted array.
+
+    Replaces the naive ``transform(array_distinct(a), x ->
+    size(filter(a, y -> y = x)))`` form, which is O(distinct * n)
+    interpreted-lambda evaluations per row — measured to hang a task
+    for minutes on a single oversized crawl page (100k bigrams ->
+    ~10^10 lambda steps).  The DuckDB oracles keep the naive spec
+    form: oracles state WHAT, plans decide HOW."""
+    return (
+        f"aggregate(array_sort({arr}),"
+        " named_struct('prev', CAST(NULL AS STRING), 'run', 0L,"
+        " 'best', 0L),"
+        " (acc, x) -> named_struct("
+        "   'prev', x,"
+        "   'run', IF(x <=> acc.prev, acc.run + 1L, 1L),"
+        "   'best', greatest(acc.best,"
+        "                    IF(x <=> acc.prev, acc.run + 1L, 1L))),"
+        " acc -> acc.best)"
+    )
+
+
 def with_tokens(df: DataFrame, distinct: bool = False) -> DataFrame:
     out = df.withColumn("tokens", F.expr(TOKENS_EXPR))
     if distinct:

@@ -33,7 +33,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .common import TOKENS_SQL, load, persist_tracked, with_tokens
+from .common import (
+    TOKENS_SQL, let_expr, load, max_multiplicity_expr, persist_tracked,
+    with_tokens,
+)
 
 # ---------------------------------------------------------------------------
 # Gopher-style quality filter
@@ -56,17 +59,36 @@ _STOP_EN = "'the','a','and','of','to','in','is','it','on','for'"
 # arithmetic trees are identical
 # the CASE guard matters: Spark's sequence(1, 0) yields a DESCENDING
 # [1, 0] (not empty like SQL generate_series), so the unguarded form
-# crashes element_at on 0/1-token documents
-_BIGRAMS = (
-    "CASE WHEN size(tokens) >= 2 THEN"
-    " transform(sequence(1, size(tokens) - 1),"
-    " i -> concat(element_at(tokens, i), ' ', element_at(tokens, i + 1)))"
-    " ELSE array() END"
+# crashes element_at on 0/1-token documents.  let_expr-bound so the
+# lambda captures a lambda VARIABLE, not the tokens column — see
+# common.let_expr for the O(n^2) inlining hazard this prevents.
+_BIGRAMS = let_expr(
+    "tokens", "ts",
+    "CASE WHEN size(ts) >= 2 THEN"
+    " transform(sequence(1, size(ts) - 1),"
+    " i -> concat(element_at(ts, i), ' ', element_at(ts, i + 1)))"
+    " ELSE array() END",
 )
 
 
-def corpus_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One map-side pass; every output column is an int flag."""
+def corpus_quality_filter(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    min_tokens: int = MIN_TOKENS,
+    max_tokens: int = MAX_TOKENS,
+    min_avg_token_len: float = MIN_AVG_TOKEN_LEN,
+    max_avg_token_len: float = MAX_AVG_TOKEN_LEN,
+    min_stopwords: int = MIN_STOPWORDS,
+    max_short_token_frac: float = MAX_SHORT_TOKEN_FRAC,
+    max_top_bigram_frac: float = MAX_TOP_BIGRAM_FRAC,
+) -> DataFrame:
+    """One map-side pass; every output column is an int flag.
+
+    Thresholds are keyword-overridable per corpus (a filter tuned for
+    one crawl is degenerate on another); the module defaults are the
+    oracle-pinned spec (QUALITY_FILTER_SQL) — change those only with
+    the DuckDB side in lockstep."""
     docs = with_tokens(
         load(spark, sf_dir, "documents", parallelize=True)
     ).withColumn("bg", F.expr(_BIGRAMS))
@@ -85,10 +107,7 @@ def corpus_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         / n_tok,
     )
     n_bg = F.size("bg")
-    top_bg = F.expr(
-        "coalesce(array_max(transform(array_distinct(bg),"
-        " b -> size(filter(bg, x -> x = b)))), 0)"
-    )
+    top_bg = F.expr(max_multiplicity_expr("bg"))
     # flags coalesce NULL -> 0 so empty/NULL-text documents fail every
     # rule instead of propagating NULL into keep (size(NULL tokens)
     # and 0/0 divisions yield NULL in Spark)
@@ -96,17 +115,17 @@ def corpus_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         return F.coalesce(cond.cast("int"), F.lit(0)).alias(name)
 
     r_len = _flag(
-        (n_tok >= MIN_TOKENS) & (n_tok <= MAX_TOKENS), "pass_n_tokens"
+        (n_tok >= min_tokens) & (n_tok <= max_tokens), "pass_n_tokens"
     )
     r_avg = _flag(
-        (avg_len >= MIN_AVG_TOKEN_LEN) & (avg_len <= MAX_AVG_TOKEN_LEN),
+        (avg_len >= min_avg_token_len) & (avg_len <= max_avg_token_len),
         "pass_avg_token_len",
     )
-    r_stop = _flag(stops >= MIN_STOPWORDS, "pass_stopwords")
-    r_short = _flag(short_frac <= MAX_SHORT_TOKEN_FRAC, "pass_short_tokens")
+    r_stop = _flag(stops >= min_stopwords, "pass_stopwords")
+    r_short = _flag(short_frac <= max_short_token_frac, "pass_short_tokens")
     r_bg = _flag(
         F.when(n_bg == 0, F.lit(True)).otherwise(
-            top_bg.cast("double") / n_bg <= MAX_TOP_BIGRAM_FRAC
+            top_bg.cast("double") / n_bg <= max_top_bigram_frac
         ),
         "pass_top_bigram",
     )
@@ -338,12 +357,13 @@ DECON_N = 8           # the standard 8-gram decontamination window
 DECON_EVAL_MOD = 10   # eval slice: doc_id % 10 == 7 (deterministic stand-in
 DECON_EVAL_REM = 7    # for a real benchmark table at the same join shape)
 
-#: overlapping DECON_N-token n-grams
-_NGRAMS_EXPR = (
-    f"CASE WHEN size(tokens) >= {DECON_N} THEN"
-    f" transform(sequence(0, size(tokens) - {DECON_N}),"
-    f" i -> array_join(slice(tokens, i + 1, {DECON_N}), ' '))"
-    " ELSE array() END"
+#: overlapping DECON_N-token n-grams (let_expr-bound: see common.let_expr)
+_NGRAMS_EXPR = let_expr(
+    "tokens", "ts",
+    f"CASE WHEN size(ts) >= {DECON_N} THEN"
+    f" transform(sequence(0, size(ts) - {DECON_N}),"
+    f" i -> array_join(slice(ts, i + 1, {DECON_N}), ' '))"
+    " ELSE array() END",
 )
 
 

@@ -68,6 +68,7 @@ from docwire_spark.ops.common import (
     BROADCAST_SLIM_ROW_LIMIT,
     TOKENS_SQL,
     broadcast_if_small,
+    let_expr,
     load,
     persist_tracked,
     with_tokens,
@@ -861,11 +862,13 @@ DEDUP_EMBEDDING_SQL = _emb_sql()
 CHUNK_K = 5
 
 #: non-overlapping CHUNK_K-token chunks, joined to a single string key
-_CHUNKS_EXPR = (
-    f"CASE WHEN size(tokens) >= {CHUNK_K} THEN"
-    f" transform(sequence(0, cast(floor(size(tokens) / {CHUNK_K}) as int) - 1),"
-    f" i -> array_join(slice(tokens, i * {CHUNK_K} + 1, {CHUNK_K}), ' '))"
-    " ELSE array() END"
+#: (let_expr-bound: see common.let_expr for the O(n^2) inlining hazard)
+_CHUNKS_EXPR = let_expr(
+    "tokens", "ts",
+    f"CASE WHEN size(ts) >= {CHUNK_K} THEN"
+    f" transform(sequence(0, cast(floor(size(ts) / {CHUNK_K}) as int) - 1),"
+    f" i -> array_join(slice(ts, i * {CHUNK_K} + 1, {CHUNK_K}), ' '))"
+    " ELSE array() END",
 )
 
 

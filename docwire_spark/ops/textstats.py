@@ -15,7 +15,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from docwire_spark.ops.common import (
-    BPE_EXPR, BPE_SQL, TOKENS_EXPR, TOKENS_SQL, load, with_tokens,
+    BPE_EXPR, BPE_SQL, TOKENS_EXPR, TOKENS_SQL, let_expr, load,
+    max_multiplicity_expr, with_tokens,
 )
 
 # ---------------------------------------------------------------------------
@@ -177,11 +178,14 @@ FROM h
 # winnowing-style representative) over word 3-grams
 # ---------------------------------------------------------------------------
 
-SHINGLE3_EXPR = (
-    "CASE WHEN size(tokens) < 3 THEN array()"
-    " ELSE transform(sequence(1, size(tokens) - 2),"
-    " i -> concat_ws(' ', element_at(tokens, i), element_at(tokens, i + 1),"
-    " element_at(tokens, i + 2))) END"
+# let_expr-bound: the lambda must capture a lambda variable, not the
+# tokens column (common.let_expr documents the O(n^2) inlining hazard)
+SHINGLE3_EXPR = let_expr(
+    "tokens", "ts",
+    "CASE WHEN size(ts) < 3 THEN array()"
+    " ELSE transform(sequence(1, size(ts) - 2),"
+    " i -> concat_ws(' ', element_at(ts, i), element_at(ts, i + 1),"
+    " element_at(ts, i + 2))) END",
 )
 SHINGLE3_SQL = (
     "list_transform(generate_series(1, greatest(len(tokens) - 2, 0)),"
@@ -220,12 +224,14 @@ FROM t
 
 # the CASE guard matters: Spark's sequence(1, 0) yields a DESCENDING
 # [1, 0] (not empty like SQL generate_series), so the unguarded form
-# crashes element_at on 0/1-token documents
-_BIGRAMS_EXPR = (
-    "CASE WHEN size(tokens) >= 2 THEN"
-    " transform(sequence(1, size(tokens) - 1),"
-    " i -> concat(element_at(tokens, i), ' ', element_at(tokens, i + 1)))"
-    " ELSE array() END"
+# crashes element_at on 0/1-token documents.  let_expr-bound (see
+# common.let_expr for the O(n^2) inlining hazard)
+_BIGRAMS_EXPR = let_expr(
+    "tokens", "ts",
+    "CASE WHEN size(ts) >= 2 THEN"
+    " transform(sequence(1, size(ts) - 1),"
+    " i -> concat(element_at(ts, i), ' ', element_at(ts, i + 1)))"
+    " ELSE array() END",
 )
 
 
@@ -236,10 +242,7 @@ def repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_tok = F.size("tokens").cast("bigint")
     n_bg = F.size("bg").cast("bigint")
     n_bg_distinct = F.size(F.array_distinct("bg")).cast("bigint")
-    top_bg = F.expr(
-        "coalesce(array_max(transform(array_distinct(bg),"
-        " b -> size(filter(bg, x -> x = b)))), 0)"
-    ).cast("bigint")
+    top_bg = F.expr(max_multiplicity_expr("bg")).cast("bigint")
     return docs.select(
         "doc_id",
         n_bg.alias("n_bigrams"),
@@ -308,10 +311,11 @@ def ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(
             F.when(
                 F.size("tokens") >= NGRAM_N,
-                F.expr(
-                    f"transform(sequence(0, size(tokens) - {NGRAM_N}),"
-                    f" i -> concat_ws(' ', slice(tokens, i + 1, {NGRAM_N})))"
-                ),
+                F.expr(let_expr(
+                    "tokens", "ts",
+                    f"transform(sequence(0, size(ts) - {NGRAM_N}),"
+                    f" i -> concat_ws(' ', slice(ts, i + 1, {NGRAM_N})))",
+                )),
             ).otherwise(F.array().cast("array<string>"))
         ).alias("ngram")
     )

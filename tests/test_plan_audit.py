@@ -161,3 +161,72 @@ def test_ngram_topk_partial_agg_and_takeordered(spark):
     assert "TakeOrderedAndProject" in plan
     # exactly one shuffle: the aggregation exchange
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_lambda_bodies_never_capture_tokenization(spark):
+    """Composability gate for the let_expr barrier (common.let_expr).
+
+    Composing an op with a downstream filter makes Catalyst push the
+    predicate through the op's projections, substituting every alias
+    — including into higher-order-function lambda BODIES, where the
+    substituted expression re-evaluates PER ELEMENT.  Before the
+    barrier, `corpus_quality_filter(...).filter("keep = 1")` inlined
+    the regexp tokenizer into the bigram lambda: O(n^2) per document,
+    one 260 KB page pinned a core for ~8 minutes.
+
+    The gate: in the OPTIMIZED plan of the filtered composition, no
+    regexp_extract_all may appear nested inside a lambdafunction.
+    (In argument position — transform(array(regexp(...)), ...) — the
+    regex text precedes 'lambdafunction('; capture means it appears
+    AFTER one, inside the body.)"""
+    from pyspark.sql import functions as F
+
+    from docwire_spark.ops.corpus_filter import (
+        corpus_quality_filter, decontaminate,
+    )
+    from docwire_spark.ops.dedup import dedup_chunk_exact
+    from docwire_spark.ops.textstats import fingerprint, repetition
+
+    def _lambda_spans(plan):
+        """Balanced-paren extraction of every lambdafunction(...) span
+        (regex pattern literals in plan text contain no parens)."""
+        key = "lambdafunction("
+        i = 0
+        while True:
+            i = plan.find(key, i)
+            if i < 0:
+                return
+            start = i + len(key)
+            depth, j = 1, start
+            while depth and j < len(plan):
+                depth += {"(": 1, ")": -1}.get(plan[j], 0)
+                j += 1
+            yield plan[start:j - 1]
+            i = start
+
+    def _no_regex_inside_lambda(df, name):
+        plan = _analyzed(df)
+        for body in _lambda_spans(plan):
+            assert "regexp_extract_all" not in body, (
+                f"{name}: tokenizer captured inside a lambda body "
+                f"(O(n^2) re-tokenization per element): {body[:200]}"
+            )
+
+    filtered = corpus_quality_filter(spark, SF_DIR).filter("keep = 1")
+    _no_regex_inside_lambda(filtered, "corpus_quality_filter+filter")
+    _no_regex_inside_lambda(
+        repetition(spark, SF_DIR).filter("dup_bigram_frac > 0.5"),
+        "repetition+filter",
+    )
+    _no_regex_inside_lambda(
+        fingerprint(spark, SF_DIR).filter("fp_shingle != ''"),
+        "fingerprint+filter",
+    )
+    _no_regex_inside_lambda(
+        dedup_chunk_exact(spark, SF_DIR).filter("n_dup_chunks > 0"),
+        "dedup_chunk_exact+filter",
+    )
+    _no_regex_inside_lambda(
+        decontaminate(spark, SF_DIR).filter("contaminated = 1"),
+        "decontaminate+filter",
+    )
