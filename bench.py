@@ -73,9 +73,42 @@ HEADLINE = [
 ]
 
 
+def _burn(n):
+    s = 0
+    for i in range(n):
+        s += i * i
+    return s
+
+
+def cpu_calibration(width: int = 32, n: int = 20_000_000):
+    """Measure the box itself so per-round numbers are comparable.
+
+    This sandbox's VM shows heavy, time-varying CPU contention
+    (measured single-thread speed varied 3x between probes minutes
+    apart; a 32-wide burn delivered ~19 effective cores).  Reporting
+    the box's single-thread seconds and effective parallel cores
+    alongside the query timings lets a reader separate "the code got
+    slower" from "the box got slower" across rounds."""
+    import multiprocessing as mp
+
+    t0 = time.time()
+    _burn(n)
+    single = time.time() - t0
+    try:
+        with mp.Pool(width) as pool:
+            t0 = time.time()
+            pool.map(_burn, [n] * width)
+            wall = time.time() - t0
+        eff_cores = round(width * single / wall, 1)
+    except Exception:
+        eff_cores = None
+    return round(single, 3), eff_cores
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    cpu_single_s, cpu_eff_cores = cpu_calibration()
     try:
         sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
     except ValueError:
@@ -146,6 +179,11 @@ def main():
                 "cpus": int(cpus) if str(cpus).isdigit() else cpus,
                 "extract_docs_per_sec": docs_per_sec,
                 "n_docs": n_docs,
+                # box calibration (see cpu_calibration docstring):
+                # single-thread seconds for a fixed integer burn, and
+                # measured effective cores at width 32
+                "cpu_ref_single_s": cpu_single_s,
+                "cpu_eff_cores": cpu_eff_cores,
             }
         )
     )
