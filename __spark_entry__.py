@@ -75,12 +75,13 @@ def _wrap(fn: Callable) -> Callable:
 
 def _collect():
     from docwire_spark.ops import (
-        corpus_filter, dedup, extraction, extraction_binary, multimodal,
-        relational, similarity, stream_extract, textstats,
+        cluster, corpus_filter, dedup, extraction, extraction_binary, index,
+        multimodal, relational, similarity, stream_extract, textstats,
     )
 
     modules = (extraction, extraction_binary, stream_extract, textstats,
-               corpus_filter, dedup, similarity, multimodal, relational)
+               corpus_filter, index, cluster, dedup, similarity, multimodal,
+               relational)
     q: dict[str, Callable] = {}
     o: dict[str, str] = {}
     for m in modules:
