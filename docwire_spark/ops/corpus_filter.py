@@ -452,11 +452,190 @@ WHERE (t.doc_id % {DECON_EVAL_MOD}) <> {DECON_EVAL_REM}
 """
 
 
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+#: patterns shared by both engines.  Restricted to the syntax subset
+#: where Java regex (Spark) and RE2 (DuckDB) agree: explicit classes,
+#: bounded repeats, no backrefs/lookaround/word-boundaries.
+PII_EMAIL = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,4}"
+PII_PHONE = r"\+[0-9]{1,2}-[0-9]{3}-[0-9]{3,4}"
+PII_IPV4 = r"([0-9]{1,3}\.){3}[0-9]{1,3}"
+
+#: deterministic PII injection: the synthetic corpus carries no PII,
+#: so both engines append the same doc_id-derived contact block and
+#: the redactor is exercised on real positive matches (the alternative
+#: — an all-zero-counts oracle — would green-light a broken regex)
+_INJECT = (
+    "text || ' contact user' || CAST(doc_id AS {s}) || '@ex'"
+    " || CAST(doc_id % 7 AS {s}) || '.com or +1-555-'"
+    " || lpad(CAST(doc_id % 10000 AS {s}), 4, '0')"
+    " || ' at 10.' || CAST(doc_id % 256 AS {s}) || '.0.'"
+    " || CAST(doc_id % 100 AS {s})"
+)
+_INJECT_SPARK = _INJECT.format(s="STRING")
+_INJECT_DUCK = _INJECT.format(s="VARCHAR")
+
+
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scrub emails / phone numbers / IPv4 addresses, count each kind.
+
+    One map-side pass, three chained ``regexp_replace`` calls in
+    codegen — the standard pre-training PII pass (emails first so the
+    later numeric patterns cannot eat an address's digits).  No
+    shuffle; at 10^12 docs this pipelines into whatever pass already
+    reads the text."""
+    docs = load(spark, sf_dir, "documents", parallelize=True)
+    # patterns go through the COLUMN API only: embedding them in an
+    # F.expr SQL literal would strip the backslashes at parse time
+    # ('\.' -> '.') and silently diverge from the RE2 oracle
+    out = docs.select("doc_id", F.expr(_INJECT_SPARK).alias("raw"))
+    red = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("raw"), PII_EMAIL, "<EMAIL>"),
+            PII_PHONE, "<PHONE>",
+        ),
+        PII_IPV4, "<IP>",
+    )
+    return out.select(
+        "doc_id",
+        red.alias("redacted"),
+        F.size(F.regexp_extract_all("raw", F.lit(PII_EMAIL), 0))
+        .cast("bigint").alias("n_emails"),
+        F.size(F.regexp_extract_all("raw", F.lit(PII_PHONE), 0))
+        .cast("bigint").alias("n_phones"),
+        F.size(F.regexp_extract_all("raw", F.lit(PII_IPV4), 0))
+        .cast("bigint").alias("n_ips"),
+    )
+
+
+PII_REDACT_SQL = f"""
+WITH t AS (
+  SELECT doc_id, {_INJECT_DUCK} AS raw FROM documents
+)
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(raw, '{PII_EMAIL}', '<EMAIL>', 'g'),
+           '{PII_PHONE}', '<PHONE>', 'g'),
+         '{PII_IPV4}', '<IP>', 'g') AS redacted,
+       CAST(len(regexp_extract_all(raw, '{PII_EMAIL}')) AS BIGINT)
+         AS n_emails,
+       CAST(len(regexp_extract_all(raw, '{PII_PHONE}')) AS BIGINT)
+         AS n_phones,
+       CAST(len(regexp_extract_all(raw, '{PII_IPV4}')) AS BIGINT) AS n_ips
+FROM t
+"""
+
+
+# ---------------------------------------------------------------------------
+# Training-mix planner
+# ---------------------------------------------------------------------------
+
+#: integer quality key: stopword hits dominate, document length breaks
+#: ties — all-bigint so the decile assignment is exact cross-engine
+#: (no float compares anywhere in the ranking)
+_QSCORE = (
+    "CAST(size(filter(tokens, t -> t IN ({stops}))) AS BIGINT)"
+    " * 1000000000 + size(tokens)"
+)
+
+
+def corpus_mix_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token budget by (lang, quality decile) with cumulative share —
+    the table a pre-training data-mix decision reads: "taking the top
+    q deciles of each language gives this many tokens".
+
+    Deciles via ``ntile(10)`` partitioned by lang, ordered by the
+    exact integer quality key descending with doc_id tiebreak (total
+    order -> deterministic decile for every doc).  Shares are
+    bigint/bigint divisions rounded at the end, so both engines emit
+    identical doubles.
+
+    Scale note: ntile needs a per-language sort; language corpus sizes
+    are web-scale-skewed, so at 10^12 docs swap the exact ntile for
+    decile BOUNDARIES from approx_percentile over the integer key and
+    a map-side join — same output schema, sort-free.  The exact form
+    here is the oracle-checkable spec of that plan."""
+    from pyspark.sql import Window
+
+    docs = with_tokens(
+        load(spark, sf_dir, "documents", parallelize=True)
+    ).select(
+        "doc_id", "lang",
+        F.expr(_QSCORE.format(stops=_STOP_EN)).alias("q"),
+        F.size("tokens").cast("bigint").alias("n_tok"),
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.col("q").desc(), F.col("doc_id")
+    )
+    decd = docs.withColumn("decile", F.ntile(10).over(w))
+    agg = decd.groupBy("lang", "decile").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("n_tokens"),
+    )
+    w_lang = Window.partitionBy("lang")
+    w_cum = (
+        Window.partitionBy("lang")
+        .orderBy("decile")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return agg.select(
+        "lang", "decile", "n_docs", "n_tokens",
+        F.round(
+            F.col("n_tokens").cast("double")
+            / F.sum("n_tokens").over(w_lang),
+            6,
+        ).alias("token_share"),
+        F.round(
+            F.sum("n_tokens").over(w_cum).cast("double")
+            / F.sum("n_tokens").over(w_lang),
+            6,
+        ).alias("cum_token_share"),
+    )
+
+
+MIX_PLANNER_SQL = f"""
+WITH t AS (
+  SELECT doc_id, lang, {TOKENS_SQL} AS tokens FROM documents
+), scored AS (
+  SELECT doc_id, lang,
+         CAST(len(list_filter(tokens, x -> x IN ({_STOP_EN})))
+              AS BIGINT) * 1000000000 + len(tokens) AS q,
+         CAST(len(tokens) AS BIGINT) AS n_tok
+  FROM t
+), decd AS (
+  SELECT lang, n_tok,
+         ntile(10) OVER (PARTITION BY lang ORDER BY q DESC, doc_id)
+           AS decile
+  FROM scored
+), agg AS (
+  SELECT lang, decile,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_tok) AS BIGINT) AS n_tokens
+  FROM decd GROUP BY lang, decile
+)
+SELECT lang, decile, n_docs, n_tokens,
+       round(CAST(n_tokens AS DOUBLE)
+             / sum(n_tokens) OVER (PARTITION BY lang), 6) AS token_share,
+       round(CAST(sum(n_tokens) OVER (
+                PARTITION BY lang ORDER BY decile
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+              ) AS DOUBLE)
+             / sum(n_tokens) OVER (PARTITION BY lang), 6)
+         AS cum_token_share
+FROM agg
+"""
+
+
 QUERIES = {
     "corpus_quality_filter": corpus_quality_filter,
     "bm25_search": bm25_search,
     "sample_stratified": sample_stratified,
     "decontaminate": decontaminate,
+    "pii_redact": pii_redact,
+    "corpus_mix_planner": corpus_mix_planner,
 }
 
 ORACLES = {
@@ -464,4 +643,6 @@ ORACLES = {
     "bm25_search": BM25_SEARCH_SQL,
     "sample_stratified": SAMPLE_STRATIFIED_SQL,
     "decontaminate": DECONTAMINATE_SQL,
+    "pii_redact": PII_REDACT_SQL,
+    "corpus_mix_planner": MIX_PLANNER_SQL,
 }

@@ -1,0 +1,86 @@
+"""Semantics + plan tests for pii_redact and corpus_mix_planner."""
+
+from __future__ import annotations
+
+import os
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = os.path.join(
+    os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata"), "sf0.001"
+)
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(SF_DIR), reason="testdata not available"
+)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_pii_redact_scrubs_all_injected_pii(spark):
+    from docwire_spark.ops.corpus_filter import (
+        PII_EMAIL, PII_IPV4, PII_PHONE, pii_redact,
+    )
+
+    rows = pii_redact(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        # every injected kind was found and counted
+        assert r["n_emails"] >= 1
+        assert r["n_phones"] >= 1
+        assert r["n_ips"] >= 1
+        # and nothing matching the patterns survives in the output
+        assert "<EMAIL>" in r["redacted"]
+        assert "<PHONE>" in r["redacted"]
+        assert "<IP>" in r["redacted"]
+        assert not re.search(PII_EMAIL, r["redacted"])
+        assert not re.search(PII_PHONE, r["redacted"])
+        assert not re.search(PII_IPV4, r["redacted"])
+
+
+def test_pii_redact_is_map_side_only(spark):
+    """PII scrubbing must pipeline into the scan: no Exchange, no
+    Python eval node."""
+    from docwire_spark.ops import corpus_filter
+
+    orig = corpus_filter.load  # imported by name into the module
+    try:
+        # bypass the bench-scale repartition so the plan shows the
+        # op's own shape, not the tiny-file parallelize helper
+        corpus_filter.load = (
+            lambda spark, sf_dir, table, parallelize=False: orig(
+                spark, sf_dir, table, False
+            )
+        )
+        plan = _plan(corpus_filter.pii_redact(spark, SF_DIR))
+    finally:
+        corpus_filter.load = orig
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_mix_planner_shares_are_consistent(spark):
+    from docwire_spark.ops.corpus_filter import corpus_mix_planner
+
+    rows = corpus_mix_planner(spark, SF_DIR).collect()
+    assert rows
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r)
+    for lang, rs in by_lang.items():
+        rs.sort(key=lambda r: r["decile"])
+        assert [r["decile"] for r in rs] == list(range(1, len(rs) + 1))
+        total_share = sum(r["token_share"] for r in rs)
+        assert abs(total_share - 1.0) < 1e-4, (lang, total_share)
+        # cumulative share is non-decreasing and ends at 1
+        cums = [r["cum_token_share"] for r in rs]
+        assert all(b >= a for a, b in zip(cums, cums[1:]))
+        assert abs(cums[-1] - 1.0) < 1e-6
+        # deciles are quality-ordered: higher deciles (worse quality
+        # key) never hold more docs than ntile allows (+/-1 balance)
+        sizes = [r["n_docs"] for r in rs]
+        assert max(sizes) - min(sizes) <= 1
