@@ -45,6 +45,13 @@ HEADLINE = [
     "bm25_search",
     "sample_stratified",
     "decontaminate",
+    "pii_redact",
+    "corpus_mix_planner",
+    "inverted_index",
+    # web / graph
+    "url_canonicalize",
+    "host_stats",
+    "pagerank",
     # dedup (scale paths only)
     "dedup_exact",
     "dedup_minhash_lsh",
@@ -53,10 +60,11 @@ HEADLINE = [
     "dedup_embedding",
     "dedup_chunk_exact",
     "dedup_components",
-    # similarity search
+    # similarity search / clustering
     "similarity_topk",
     "similarity_ann_lsh",
     "similarity_ann_ivf",
+    "kmeans_embeddings",
     # multimodal plumbing
     "multimodal_meta",
     "multimodal_frames",

@@ -1,0 +1,171 @@
+"""PageRank over a corpus-derived co-occurrence graph.
+
+The graph-analytics shape Spark runs at scale (link analysis over a
+crawl, spam/host authority scoring): edges live in a DataFrame, one
+iteration = join(scores, edges on src) -> groupBy(dst) -> sum, i.e.
+a shuffle on src then dst.  Nothing is ever collected; the score
+table stays distributed (contrast kmeans, where the CENTROIDS are the
+small side).
+
+Edges are derived deterministically from the corpus itself: 5-token
+CHUNKS (same chunking as dedup_chunk_exact) with document frequency
+in [2, RARE_DF_MAX] connect consecutive documents of their posting
+list — a rare shared chunk is real evidence of relatedness (shared
+template/boilerplate), while hot chunks would produce clique blowup,
+so the df cap doubles as the skew guard (the same banding logic as
+MinHash).  The posting walk gives df-1 edges per rare chunk, so the
+edge count is linear in corpus size.
+
+Cross-engine determinism: symmetric edges mean no dangling mass; all
+arithmetic is double (decimal literals are CAST to double explicitly
+— DuckDB parses bare ``0.15`` as DECIMAL, Spark as double, and the
+two arithmetics differ); per-iteration scores pass through
+``round(, 9)`` to absorb group-sum ordering ULPs, and the output is
+rounded to 6.
+
+ITERS fixed at 2 keeps the oracle a static SQL string; the builder
+takes the iteration count as a parameter for real use.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .common import TOKENS_SQL, load, with_tokens
+from .dedup import CHUNK_K as _CHUNK_K
+
+RARE_DF_MIN = 2
+RARE_DF_MAX = 4
+DAMPING = 0.85
+ITERS = 2
+
+
+def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric, distinct (src, dst) pairs from rare-chunk postings."""
+    from pyspark.sql import Window
+
+    from .dedup import _CHUNKS_EXPR
+
+    docs = with_tokens(load(spark, sf_dir, "documents", parallelize=True))
+    occ = (
+        docs.select("doc_id", F.explode(F.expr(_CHUNKS_EXPR)).alias("chunk"))
+        .distinct()
+    )
+    df = occ.groupBy("chunk").agg(F.count("*").alias("df"))
+    rare = df.filter(
+        (F.col("df") >= RARE_DF_MIN) & (F.col("df") <= RARE_DF_MAX)
+    ).select("chunk")
+    # rare-chunk posting groups are bounded by RARE_DF_MAX, so the
+    # window sort state per group is tiny; the join's build side (the
+    # rare-chunk list, slim) is left to AQE — never a forced broadcast
+    w = Window.partitionBy("chunk").orderBy("doc_id")
+    ordered = occ.join(rare, "chunk").withColumn(
+        "nxt", F.lead("doc_id").over(w)
+    )
+    e1 = ordered.filter(F.col("nxt").isNotNull()).select(
+        F.col("doc_id").alias("src"), F.col("nxt").alias("dst")
+    )
+    return e1.union(
+        e1.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+
+
+def pagerank(spark: SparkSession, sf_dir: str, iters: int = ITERS) -> DataFrame:
+    edges = _edges(spark, sf_dir)
+    deg = edges.groupBy("src").agg(F.count("*").cast("bigint").alias("deg"))
+    nodes = deg.select(F.col("src").alias("node"), "deg")
+    n = nodes.count()  # one slim scalar to the driver, like any agg
+    scores = nodes.select(
+        "node", (F.lit(1.0) / F.lit(float(n))).alias("score")
+    )
+    for _ in range(iters):
+        contrib = (
+            scores.join(nodes, "node")
+            .join(edges.withColumnRenamed("src", "node"), "node")
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("score") / F.col("deg")).alias("c"),
+            )
+        )
+        scores = contrib.groupBy("node").agg(
+            F.round(
+                F.lit(1.0 - DAMPING) / F.lit(float(n))
+                + F.lit(DAMPING) * F.sum("c"),
+                9,
+            ).alias("score")
+        )
+    return (
+        scores.join(nodes, "node")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.round("score", 6).alias("pagerank"),
+            "deg",
+        )
+    )
+
+
+PAGERANK_SQL = f"""
+WITH t AS (
+  SELECT doc_id, {TOKENS_SQL} AS tokens FROM documents
+), occ AS (
+  SELECT DISTINCT doc_id,
+         list_reduce(tokens[(i * {_CHUNK_K} + 1):(i * {_CHUNK_K} + {_CHUNK_K})],
+                     (a, b) -> a || ' ' || b) AS chunk
+  FROM t, unnest(range(CAST(floor(len(tokens) / {_CHUNK_K}) AS BIGINT)))
+       AS u(i)
+), dfq AS (
+  SELECT chunk, count(*) AS df FROM occ GROUP BY chunk
+), rare AS (
+  SELECT chunk FROM dfq
+  WHERE df BETWEEN {RARE_DF_MIN} AND {RARE_DF_MAX}
+), ordered AS (
+  SELECT occ.chunk, occ.doc_id,
+         lead(occ.doc_id) OVER (PARTITION BY occ.chunk
+                                ORDER BY occ.doc_id) AS nxt
+  FROM occ JOIN rare USING (chunk)
+), e1 AS (
+  SELECT doc_id AS src, nxt AS dst FROM ordered WHERE nxt IS NOT NULL
+), edges AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM e1
+    UNION ALL
+    SELECT dst AS src, src AS dst FROM e1
+  )
+), deg AS (
+  SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+  FROM edges GROUP BY src
+), nn AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n FROM deg
+), s0 AS (
+  SELECT node, CAST(1.0 AS DOUBLE) / nn.n AS score FROM deg, nn
+), s1 AS (
+  SELECT e.dst AS node,
+         round(CAST({1.0 - DAMPING} AS DOUBLE) / any_value(nn.n)
+               + CAST({DAMPING} AS DOUBLE)
+                 * sum(s.score / d.deg), 9) AS score
+  FROM s0 s
+  JOIN deg d USING (node)
+  JOIN edges e ON e.src = s.node
+  CROSS JOIN nn
+  GROUP BY e.dst
+), s2 AS (
+  SELECT e.dst AS node,
+         round(CAST({1.0 - DAMPING} AS DOUBLE) / any_value(nn.n)
+               + CAST({DAMPING} AS DOUBLE)
+                 * sum(s.score / d.deg), 9) AS score
+  FROM s1 s
+  JOIN deg d USING (node)
+  JOIN edges e ON e.src = s.node
+  CROSS JOIN nn
+  GROUP BY e.dst
+)
+SELECT s2.node AS doc_id,
+       round(s2.score, 6) AS pagerank,
+       deg.deg AS deg
+FROM s2 JOIN deg USING (node)
+"""
+
+
+QUERIES = {"pagerank": pagerank}
+ORACLES = {"pagerank": PAGERANK_SQL}

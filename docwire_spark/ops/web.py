@@ -1,0 +1,143 @@
+"""URL canonicalization and host-level rollups — the Common-Crawl
+front door.
+
+A crawl corpus keys everything by URL, and raw crawl URLs are noisy:
+mixed-case scheme/host, default ports, tracking query parameters,
+unsorted parameters, fragments, ``www.`` aliases.  Canonicalization
+is what makes url-exact dedup and host-level statistics meaningful
+(the reference keys its extraction goldens by url the same way —
+SURVEY §1.2).
+
+The synthetic documents table has no url column, so both engines
+derive the same messy URL deterministically from ``doc_id`` (same
+pattern as the PII injection: a redactor verified only on zero-match
+inputs proves nothing), then canonicalize it with the SAME string
+pipeline.
+
+Everything is codegen string ops — one map-side pass, no shuffle for
+``url_canonicalize``; ``host_stats`` adds the one groupBy a rollup
+needs.  Regexes avoid backslashes entirely (``[.]`` for a literal
+dot) so the same pattern string survives Spark SQL literal parsing,
+Java regex, and RE2 identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .common import load
+
+#: messy-URL synthesis (shared shape, engine-specific cast spelling)
+_RAW = (
+    "'HTTPS://WWW.Host' || CAST(doc_id % 50 AS {s})"
+    " || '.Example' || CAST(doc_id % 7 AS {s})"
+    " || '.COM:443/p' || CAST(doc_id % 17 AS {s})"
+    " || '/page/?id=' || CAST(doc_id AS {s})"
+    " || '&utm_source=s' || CAST(doc_id % 5 AS {s})"
+    " || '&b=2&a=1&utm_medium=m#sec' || CAST(doc_id % 9 AS {s})"
+)
+_RAW_SPARK = _RAW.format(s="STRING")
+_RAW_DUCK = _RAW.format(s="VARCHAR")
+
+# canonicalization fragments (identical function names in both
+# engines except filter/list_filter and array_join/array_to_string,
+# spelled per-engine below)
+_SCHEME = "lower(regexp_extract(raw, '^[A-Za-z]+', 0))"
+_HOSTPORT = "lower(regexp_extract(raw, '^[A-Za-z]+://([^/]+)', 1))"
+_HOST = (
+    "regexp_replace(regexp_replace(" + _HOSTPORT + ","
+    " ':443$', ''), '^www[.]', '')"
+)
+_PATH = "regexp_extract(raw, '^[A-Za-z]+://[^/]+([^?#]*)', 1)"
+_QUERY = "regexp_extract(raw, '[?]([^#]*)', 1)"
+
+
+def url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents", parallelize=True)
+    q = docs.selectExpr("doc_id", f"{_RAW_SPARK} AS raw").selectExpr(
+        "doc_id",
+        f"{_SCHEME} AS scheme",
+        f"{_HOST} AS host",
+        f"{_PATH} AS path",
+        f"split({_QUERY}, '&') AS params",
+    )
+    kept = "filter(params, p -> left(p, 4) <> 'utm_')"
+    return q.selectExpr(
+        "doc_id",
+        "scheme || '://' || host || path ||"
+        f" CASE WHEN size({kept}) > 0"
+        f" THEN '?' || array_join(array_sort({kept}), '&')"
+        " ELSE '' END AS url_canon",
+        "host",
+        "regexp_extract(host, '([a-z0-9-]+[.][a-z]+)$', 1) AS domain",
+        "CAST(size(filter(split(path, '/'), s -> s <> '')) AS INT)"
+        " AS path_depth",
+        f"CAST(size(params) - size({kept}) AS BIGINT)"
+        " AS n_tracking_removed",
+    )
+
+
+URL_CANON_SQL = f"""
+WITH r AS (
+  SELECT doc_id, {_RAW_DUCK} AS raw FROM documents
+), q AS (
+  SELECT doc_id,
+         {_SCHEME} AS scheme,
+         {_HOST} AS host,
+         {_PATH} AS path,
+         string_split({_QUERY}, '&') AS params
+  FROM r
+)
+SELECT doc_id,
+       scheme || '://' || host || path ||
+         CASE WHEN len(list_filter(params, p -> left(p, 4) <> 'utm_')) > 0
+              THEN '?' || array_to_string(
+                     list_sort(list_filter(params,
+                                           p -> left(p, 4) <> 'utm_')), '&')
+              ELSE '' END AS url_canon,
+       host,
+       regexp_extract(host, '([a-z0-9-]+[.][a-z]+)$', 1) AS domain,
+       CAST(len(list_filter(string_split(path, '/'), s -> s <> ''))
+            AS INTEGER) AS path_depth,
+       CAST(len(params)
+            - len(list_filter(params, p -> left(p, 4) <> 'utm_'))
+            AS BIGINT) AS n_tracking_removed
+FROM q
+"""
+
+
+def host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-registered-domain rollup over canonical hosts: the table a
+    crawl scheduler / quality dashboard reads.  One groupBy on a
+    low-cardinality key; distinct-host counting is the standard
+    partial-aggregatable count(distinct)."""
+    canon = url_canonicalize(spark, sf_dir)
+    return canon.groupBy("domain").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.countDistinct("host").cast("bigint").alias("n_hosts"),
+        F.sum("path_depth").cast("bigint").alias("sum_path_depth"),
+        F.sum("n_tracking_removed").cast("bigint").alias("n_tracking"),
+    )
+
+
+HOST_STATS_SQL = f"""
+WITH canon AS ({URL_CANON_SQL})
+SELECT domain,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT host) AS BIGINT) AS n_hosts,
+       CAST(sum(path_depth) AS BIGINT) AS sum_path_depth,
+       CAST(sum(n_tracking_removed) AS BIGINT) AS n_tracking
+FROM canon
+GROUP BY domain
+"""
+
+
+QUERIES = {
+    "url_canonicalize": url_canonicalize,
+    "host_stats": host_stats,
+}
+ORACLES = {
+    "url_canonicalize": URL_CANON_SQL,
+    "host_stats": HOST_STATS_SQL,
+}

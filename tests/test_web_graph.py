@@ -1,0 +1,116 @@
+"""Semantics + plan tests for url_canonicalize / host_stats / pagerank."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = os.path.join(
+    os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata"), "sf0.001"
+)
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(SF_DIR), reason="testdata not available"
+)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_url_canonicalize_properties(spark):
+    from docwire_spark.ops.web import url_canonicalize
+
+    rows = url_canonicalize(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        u = r["url_canon"]
+        assert u.startswith("https://host"), u       # scheme+host lowered
+        assert ":443" not in u                        # default port gone
+        assert "www." not in u                        # www alias stripped
+        assert "#" not in u                           # fragment gone
+        assert "utm_" not in u                        # tracking params gone
+        # surviving params are sorted
+        q = u.split("?", 1)[1]
+        parts = q.split("&")
+        assert parts == sorted(parts)
+        assert r["n_tracking_removed"] == 2
+        assert r["domain"].startswith("example")
+        assert r["path_depth"] == 2
+
+    # exact spot-check for doc_id 123
+    r = next(x for x in rows if x["doc_id"] == 123)
+    assert r["url_canon"] == (
+        "https://host23.example4.com/p4/page/?a=1&b=2&id=123"
+    )
+    assert r["host"] == "host23.example4.com"
+    assert r["domain"] == "example4.com"
+
+
+def test_url_canonicalize_is_map_side_only(spark):
+    from docwire_spark.ops import web
+
+    orig = web.load
+    try:
+        web.load = lambda spark, sf_dir, table, parallelize=False: orig(
+            spark, sf_dir, table, False
+        )
+        plan = _plan(web.url_canonicalize(spark, SF_DIR))
+    finally:
+        web.load = orig
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_host_stats_consistency(spark):
+    from docwire_spark.ops.web import host_stats, url_canonicalize
+
+    stats = {r["domain"]: r for r in host_stats(spark, SF_DIR).collect()}
+    total = sum(r["n_docs"] for r in stats.values())
+    assert total == url_canonicalize(spark, SF_DIR).count()
+    for r in stats.values():
+        assert 1 <= r["n_hosts"] <= 50
+        assert r["n_tracking"] == 2 * r["n_docs"]
+
+
+def test_pagerank_mass_and_structure(spark):
+    from docwire_spark.ops.graph import DAMPING, pagerank, _edges
+
+    edges = _edges(spark, SF_DIR)
+    e = edges.count()
+    assert e > 0
+    # symmetric edge set: every (s, d) has its (d, s)
+    asym = (
+        edges.alias("a")
+        .join(
+            edges.alias("b"),
+            (F.col("a.src") == F.col("b.dst"))
+            & (F.col("a.dst") == F.col("b.src")),
+            "left_anti",
+        )
+        .count()
+    )
+    assert asym == 0
+    assert edges.filter(F.col("src") == F.col("dst")).count() == 0
+
+    rows = pagerank(spark, SF_DIR).collect()
+    n = len(rows)
+    # symmetric graph, no dangling nodes: total PageRank mass is
+    # conserved at 1.0 (up to the per-iteration rounding)
+    mass = sum(r["pagerank"] for r in rows)
+    assert abs(mass - 1.0) < 1e-3, mass
+    assert all(r["pagerank"] > 0 for r in rows)
+    # uniform init on a symmetric graph: score correlates with degree
+    by_deg = sorted(rows, key=lambda r: r["deg"])
+    lo = sum(r["pagerank"] for r in by_deg[: n // 3]) / (n // 3)
+    hi = sum(r["pagerank"] for r in by_deg[-(n // 3):]) / (n // 3)
+    assert hi > lo
+
+
+def test_pagerank_plan_has_no_cartesian(spark):
+    from docwire_spark.ops.graph import pagerank
+
+    plan = _plan(pagerank(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
