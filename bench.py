@@ -41,6 +41,8 @@ HEADLINE = [
     "text_fingerprint",
     "text_repetition",
     "text_ngram_topk",
+    "text_normalize",
+    "text_length_percentiles",
     "corpus_quality_filter",
     "bm25_search",
     "sample_stratified",

@@ -344,6 +344,105 @@ LIMIT {NGRAM_TOPK}
 """
 
 
+# ---------------------------------------------------------------------------
+# text normalization (C4/CCNet-style cleanup pass)
+# ---------------------------------------------------------------------------
+
+#: typographic chars mapped to ASCII; chars with no target are DELETED
+#: (both engines implement Oracle translate semantics: a from-char
+#: past the end of the to-string is removed)
+_XLAT_FROM = "“”‘’—– ​"
+_XLAT_TO = "\"\"''-- "
+
+#: deterministic mess injection: the synthetic corpus is pure ASCII,
+#: so both engines prepend/append the same typographic junk and the
+#: normalizer is exercised on real positives
+_MESSY_SPARK = (
+    "'“q”  ' || text || '  — ab​c end'"
+)
+
+
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode-punctuation fold + control/zero-width strip + whitespace
+    collapse — the cleanup pass a crawl corpus takes before
+    tokenization.  One map-side codegen pass: translate (char map +
+    delete) then one regexp whitespace collapse, then trim."""
+    docs = load(spark, sf_dir, "documents", parallelize=True)
+    raw = F.expr(_MESSY_SPARK)
+    folded = F.translate(raw, _XLAT_FROM, _XLAT_TO)
+    norm = F.trim(F.regexp_replace(folded, "[ \\t\\r\\n]+", " "))
+    return docs.select(
+        "doc_id",
+        norm.alias("norm_text"),
+        (F.length(raw) - F.length(folded)).cast("bigint")
+        .alias("n_chars_dropped"),
+        (F.length(folded) - F.length(norm)).cast("bigint")
+        .alias("n_ws_collapsed"),
+    )
+
+
+_MESSY_DUCK = _MESSY_SPARK  # identical literal syntax in both dialects
+
+TEXT_NORMALIZE_SQL = f"""
+WITH r AS (
+  SELECT doc_id, {_MESSY_DUCK} AS raw FROM documents
+), f AS (
+  SELECT doc_id, raw,
+         translate(raw, '{_XLAT_FROM}', '{_XLAT_TO.replace("'", "''")}')
+           AS folded
+  FROM r
+)
+SELECT doc_id,
+       trim(regexp_replace(folded, '[ \\t\\r\\n]+', ' ', 'g')) AS norm_text,
+       CAST(length(raw) - length(folded) AS BIGINT) AS n_chars_dropped,
+       CAST(length(folded)
+            - length(trim(regexp_replace(folded, '[ \\t\\r\\n]+', ' ', 'g')))
+            AS BIGINT) AS n_ws_collapsed
+FROM f
+"""
+
+
+# ---------------------------------------------------------------------------
+# corpus length percentiles (monitoring table)
+# ---------------------------------------------------------------------------
+
+
+def length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p50/p90/p99 of document token counts per language — the corpus
+    health table a pipeline dashboard polls.  Exact percentiles over
+    BIGINT counts: both engines interpolate at rank p*(n-1), and the
+    interpolation ``a + (b-a)*frac`` on integer-valued doubles is
+    bit-identical.  Scale note: exact percentile buffers each group's
+    values on one reducer — per-LANGUAGE groups here (bounded count,
+    huge size at 10^12 docs), so the cluster-scale swap is
+    approx_percentile with a fixed accuracy; this exact form is the
+    oracle-checkable spec."""
+    docs = with_tokens(load(spark, sf_dir, "documents", parallelize=True))
+    n_tok = F.size("tokens").cast("bigint")
+    base = docs.select("lang", n_tok.alias("n_tok"))
+    return base.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.expr("percentile(n_tok, 0.5)").alias("p50"),
+        F.expr("percentile(n_tok, 0.9)").alias("p90"),
+        F.expr("percentile(n_tok, 0.99)").alias("p99"),
+        F.max("n_tok").cast("bigint").alias("max_tok"),
+    )
+
+
+LENGTH_PERCENTILES_SQL = f"""
+WITH t AS (
+  SELECT lang, CAST(len({TOKENS_SQL}) AS BIGINT) AS n_tok FROM documents
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       quantile_cont(n_tok, 0.5) AS p50,
+       quantile_cont(n_tok, 0.9) AS p90,
+       quantile_cont(n_tok, 0.99) AS p99,
+       CAST(max(n_tok) AS BIGINT) AS max_tok
+FROM t GROUP BY lang
+"""
+
+
 QUERIES = {
     "text_token_stats": token_stats,
     "text_quality": quality_score,
@@ -351,6 +450,8 @@ QUERIES = {
     "text_fingerprint": fingerprint,
     "text_repetition": repetition,
     "text_ngram_topk": ngram_topk,
+    "text_normalize": text_normalize,
+    "text_length_percentiles": length_percentiles,
 }
 
 ORACLES = {
@@ -360,4 +461,6 @@ ORACLES = {
     "text_fingerprint": FINGERPRINT_SQL,
     "text_repetition": REPETITION_SQL,
     "text_ngram_topk": NGRAM_TOPK_SQL,
+    "text_normalize": TEXT_NORMALIZE_SQL,
+    "text_length_percentiles": LENGTH_PERCENTILES_SQL,
 }
