@@ -510,6 +510,30 @@ def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def redact_pii_column(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Reusable redactor for REAL corpora (no injection): replaces the
+    ``text_col`` in place and appends per-kind match counts.  Same
+    patterns/order as the oracle-checked ``pii_redact`` query."""
+    raw = F.col(text_col)
+    red = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(raw, PII_EMAIL, "<EMAIL>"),
+            PII_PHONE, "<PHONE>",
+        ),
+        PII_IPV4, "<IP>",
+    )
+    return df.select(
+        *[c for c in df.columns if c != text_col],
+        F.size(F.regexp_extract_all(text_col, F.lit(PII_EMAIL), 0))
+        .cast("bigint").alias("n_pii_emails"),
+        F.size(F.regexp_extract_all(text_col, F.lit(PII_PHONE), 0))
+        .cast("bigint").alias("n_pii_phones"),
+        F.size(F.regexp_extract_all(text_col, F.lit(PII_IPV4), 0))
+        .cast("bigint").alias("n_pii_ips"),
+        red.alias(text_col),
+    )
+
+
 PII_REDACT_SQL = f"""
 WITH t AS (
   SELECT doc_id, {_INJECT_DUCK} AS raw FROM documents

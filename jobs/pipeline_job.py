@@ -3,8 +3,8 @@
     spark-submit --master local[8] --py-files dist/docwire_spark.zip \
         jobs/pipeline_job.py --n-docs 20000 --out /tmp/pipeline
 
-    extract -> quality filter -> exact dedup -> near-dup cluster dedup
-    -> checkpointed final corpus write
+    extract -> quality filter -> PII redaction -> exact dedup
+    -> near-dup cluster dedup -> checkpointed final corpus write
 
 Each phase materializes a stage directory (``stage1_extracted/``,
 ``stage2_quality/``, ...) holding a ``documents.parquet`` in the
@@ -63,6 +63,7 @@ def run_pipeline(spark, pages, out_dir: str, n_shards: int = 64,
 
     st1 = os.path.join(out_dir, "stage1_extracted")
     st2 = os.path.join(out_dir, "stage2_quality")
+    st2b = os.path.join(out_dir, "stage2b_redacted")
     st3 = os.path.join(out_dir, "stage3_exact")
     final = os.path.join(out_dir, "final")
 
@@ -97,12 +98,31 @@ def run_pipeline(spark, pages, out_dir: str, n_shards: int = 64,
         _write_stage(docs.join(keep, "doc_id", "left_semi"), st2)
         return spark.read.parquet(os.path.join(st2, "documents.parquet")).count()
 
+    # -- phase 2b: PII redaction (map-side transform, drops nothing) ------
+    def p2b():
+        from docwire_spark.ops.corpus_filter import redact_pii_column
+
+        docs = spark.read.parquet(os.path.join(st2, "documents.parquet"))
+        _write_stage(redact_pii_column(docs, "text"), st2b)
+        out = spark.read.parquet(os.path.join(st2b, "documents.parquet"))
+        summary["pii_matches"] = {
+            k: v
+            for k, v in zip(
+                ("emails", "phones", "ips"),
+                out.agg(
+                    F.sum("n_pii_emails"), F.sum("n_pii_phones"),
+                    F.sum("n_pii_ips"),
+                ).first(),
+            )
+        }
+        return out.count()
+
     # -- phase 3: exact dedup (keep-first per fingerprint) ----------------
     def p3():
-        keep = dedup_exact(spark, st2).select(
+        keep = dedup_exact(spark, st2b).select(
             F.col("keep_doc_id").alias("doc_id")
         )
-        docs = spark.read.parquet(os.path.join(st2, "documents.parquet"))
+        docs = spark.read.parquet(os.path.join(st2b, "documents.parquet"))
         _write_stage(docs.join(keep, "doc_id", "left_semi"), st3)
         return spark.read.parquet(os.path.join(st3, "documents.parquet")).count()
 
@@ -123,6 +143,7 @@ def run_pipeline(spark, pages, out_dir: str, n_shards: int = 64,
 
     _phase("extract", p1)
     _phase("quality_filter", p2)
+    _phase("pii_redact", p2b)
     _phase("dedup_exact", p3)
     _phase("dedup_near_dup", p4)
     counts = [p["docs"] for p in summary["phases"].values()]

@@ -33,14 +33,14 @@ def pipeline_summary(spark, tmp_path_factory):
 def test_phase_counts_monotone_and_nondegenerate(pipeline_summary):
     summary, _ = pipeline_summary
     counts = [p["docs"] for p in summary["phases"].values()]
-    assert len(counts) == 4
+    assert len(counts) == 5
     assert counts[0] == 400
     assert counts == sorted(counts, reverse=True)
     # each boundary must be non-degenerate: something survives to the
     # end, and the near-dup phase actually drops documents (the
     # synthetic corpus contains template near-dup cliques)
     assert counts[-1] > 0
-    assert counts[3] < counts[2]
+    assert counts[4] < counts[3]
 
 
 def test_final_corpus_readable_and_committed(pipeline_summary, spark):
@@ -67,6 +67,7 @@ def test_stage_checkpoints_resumable(pipeline_summary, spark):
     for stage, key in (
         ("stage1_extracted", "extract"),
         ("stage2_quality", "quality_filter"),
+        ("stage2b_redacted", "pii_redact"),
         ("stage3_exact", "dedup_exact"),
     ):
         df = spark.read.parquet(os.path.join(out, stage, "documents.parquet"))
