@@ -50,9 +50,11 @@ HEADLINE = [
     "pii_redact",
     "corpus_mix_planner",
     "inverted_index",
+    "lang_balance",
     # web / graph
     "url_canonicalize",
     "host_stats",
+    "url_dedup_latest",
     "pagerank",
     # dedup (scale paths only)
     "dedup_exact",

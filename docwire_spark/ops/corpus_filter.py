@@ -653,6 +653,84 @@ FROM agg
 """
 
 
+# ---------------------------------------------------------------------------
+# Language-balanced resampling
+# ---------------------------------------------------------------------------
+
+#: per-language cap as a fraction of the ORIGINAL corpus token budget
+#: (numerator/denominator kept integer so the cap itself is exact)
+BALANCE_NUM, BALANCE_DEN = 1, 4
+
+
+def lang_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Execute the mix decision: cap every language at NUM/DEN of the
+    corpus token budget, keeping a deterministic random subset.
+
+    All arithmetic is INTEGER: documents are ordered inside each
+    language by ``(md5(doc_id), doc_id)`` (a deterministic shuffle,
+    same trick as sample_stratified), the running token sum along that
+    order is a bigint, and the cap is ``total_tokens DIV den * num`` —
+    keep while the running sum fits.  No doubles anywhere, so the
+    keep set is bit-identical on any engine and any partitioning.
+
+    Scale shape: one shuffle on lang for the running-sum window (group
+    size = language corpus; at 10^12 docs swap for the two-pass
+    variant — per-bucket partial sums, then a bucket-offset join —
+    same keep set, bounded partitions); the 1-row total joins in as a
+    broadcast."""
+    from pyspark.sql import Window
+
+    docs = with_tokens(
+        load(spark, sf_dir, "documents", parallelize=True)
+    ).select(
+        "doc_id", "lang",
+        F.size("tokens").cast("bigint").alias("n_tok"),
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    )
+    total = docs.agg(
+        F.sum("n_tok").cast("bigint").alias("total_tok")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        docs.crossJoin(F.broadcast(total))  # 1 row: always legal
+        .withColumn("cum_tok", F.sum("n_tok").over(w).cast("bigint"))
+        .select(
+            "doc_id", "lang", "n_tok",
+            F.expr(
+                f"CAST(cum_tok <= total_tok DIV {BALANCE_DEN}"
+                f" * {BALANCE_NUM} AS INT)"
+            ).alias("keep"),
+        )
+    )
+
+
+LANG_BALANCE_SQL = f"""
+WITH t AS (
+  SELECT doc_id, lang,
+         CAST(len({TOKENS_SQL}) AS BIGINT) AS n_tok,
+         md5(CAST(doc_id AS VARCHAR)) AS h
+  FROM documents
+), tot AS (
+  SELECT CAST(sum(n_tok) AS BIGINT) AS total_tok FROM t
+), c AS (
+  SELECT doc_id, lang, n_tok,
+         CAST(sum(n_tok) OVER (
+           PARTITION BY lang ORDER BY h, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS BIGINT) AS cum_tok
+  FROM t
+)
+SELECT doc_id, lang, n_tok,
+       CAST(cum_tok <= total_tok // {BALANCE_DEN} * {BALANCE_NUM} AS INT)
+         AS keep
+FROM c CROSS JOIN tot
+"""
+
+
 QUERIES = {
     "corpus_quality_filter": corpus_quality_filter,
     "bm25_search": bm25_search,
@@ -660,6 +738,7 @@ QUERIES = {
     "decontaminate": decontaminate,
     "pii_redact": pii_redact,
     "corpus_mix_planner": corpus_mix_planner,
+    "lang_balance": lang_balance,
 }
 
 ORACLES = {
@@ -669,4 +748,5 @@ ORACLES = {
     "decontaminate": DECONTAMINATE_SQL,
     "pii_redact": PII_REDACT_SQL,
     "corpus_mix_planner": MIX_PLANNER_SQL,
+    "lang_balance": LANG_BALANCE_SQL,
 }

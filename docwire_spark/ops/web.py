@@ -133,11 +133,82 @@ GROUP BY domain
 """
 
 
+#: recrawl synthesis: RECRAWL_MOD doc_ids alias to one canonical url
+#: (distinct capture timestamps derived from doc_id), so keep-latest
+#: has real work to do
+RECRAWL_MOD = 100
+
+
+def url_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDX-style crawl dedup: many captures of one canonical URL,
+    keep the LATEST capture (ties impossible: capture ts is strictly
+    increasing in doc_id within a url group).
+
+    The crawl-scale shape: one shuffle on the canonical url,
+    row_number window ordered (ts desc, doc_id desc) — group size is
+    the recrawl count per url (bounded in practice by crawl policy),
+    never corpus-sized.  Emits per-kept-capture recrawl stats a crawl
+    scheduler reads (n_captures, span between first and last)."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents", parallelize=True)
+    caps = docs.select(
+        "doc_id",
+        F.expr(f"'https://ex.com/item/' || CAST(doc_id % {RECRAWL_MOD}"
+               " AS STRING)").alias("url"),
+        # capture time: epoch day derived from doc_id, deterministic
+        F.expr("CAST(doc_id AS BIGINT)").alias("capture_day"),
+    )
+    w = Window.partitionBy("url").orderBy(
+        F.col("capture_day").desc(), F.col("doc_id").desc()
+    )
+    return (
+        caps.withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "n_captures",
+            F.count("*").over(Window.partitionBy("url")).cast("bigint"),
+        )
+        .withColumn(
+            "span_days",
+            (F.max("capture_day").over(Window.partitionBy("url"))
+             - F.min("capture_day").over(Window.partitionBy("url")))
+            .cast("bigint"),
+        )
+        .filter(F.col("rn") == 1)
+        .select("url", F.col("doc_id").alias("kept_doc_id"),
+                "n_captures", "span_days")
+    )
+
+
+URL_DEDUP_SQL = f"""
+WITH caps AS (
+  SELECT doc_id,
+         'https://ex.com/item/' || CAST(doc_id % {RECRAWL_MOD} AS VARCHAR)
+           AS url,
+         CAST(doc_id AS BIGINT) AS capture_day
+  FROM documents
+), ranked AS (
+  SELECT url, doc_id, capture_day,
+         row_number() OVER (PARTITION BY url
+                            ORDER BY capture_day DESC, doc_id DESC) AS rn,
+         CAST(count(*) OVER (PARTITION BY url) AS BIGINT) AS n_captures,
+         CAST(max(capture_day) OVER (PARTITION BY url)
+              - min(capture_day) OVER (PARTITION BY url) AS BIGINT)
+           AS span_days
+  FROM caps
+)
+SELECT url, doc_id AS kept_doc_id, n_captures, span_days
+FROM ranked WHERE rn = 1
+"""
+
+
 QUERIES = {
     "url_canonicalize": url_canonicalize,
     "host_stats": host_stats,
+    "url_dedup_latest": url_dedup_latest,
 }
 ORACLES = {
     "url_canonicalize": URL_CANON_SQL,
     "host_stats": HOST_STATS_SQL,
+    "url_dedup_latest": URL_DEDUP_SQL,
 }
