@@ -260,15 +260,104 @@ WHERE ws + INTERVAL 1 HOUR <= m - INTERVAL 30 MINUTE
 """
 
 
+def stream_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The continuous-ingest corpus pipeline: streaming extraction
+    COMPOSED with the map-side cleaning ops (token count, length
+    gate, PII scrub) in ONE stream — no extra trigger, no state.
+
+    This is the composability proof for the batch operators: every
+    stateless op in the engine (quality flags, redaction, text stats)
+    chains onto the streaming extraction exactly as onto a batch scan,
+    because both are plain Column expressions over the same schema.
+    The oracle reconstructs the same columns analytically, proving
+    stream == batch for the composed pipeline too."""
+    from docwire_spark.ops.corpus_filter import redact_pii_column
+    from docwire_spark.ops.common import TOKENS_EXPR
+    from docwire_spark.streaming.extract_stream import extract_stream
+
+    docs = load(spark, sf_dir, "documents")
+    pages = docs.select(
+        F.concat(F.lit("https://synth.local/d/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        F.encode(
+            F.concat(
+                F.lit("<html><head><title>d</title></head><body><p>"),
+                F.col("text"),
+                F.lit("</p></body></html>"),
+            ),
+            "UTF-8",
+        ).alias("html"),
+    )
+    drop_dir = tempfile.mkdtemp(prefix="stream_clean_src_")
+    chk_dir = tempfile.mkdtemp(prefix="stream_clean_chk_")
+    pages.write.mode("overwrite").parquet(drop_dir)
+
+    stream_pages = (
+        spark.readStream.schema("url string, html binary")
+        .format("parquet")
+        .load(drop_dir)
+    )
+    cleaned = redact_pii_column(
+        extract_stream(stream_pages, n_shards=16)
+        .withColumn("text", F.col("extracted_text"))
+        .withColumn(
+            "n_tok",
+            F.size(F.expr(TOKENS_EXPR)).cast("bigint"),
+        )
+        .withColumn(
+            "keep_len", (F.col("n_tok") >= 15).cast("int")
+        )
+        .select("url", "text", "n_tok", "keep_len"),
+        "text",
+    )
+    sink = f"stream_clean_sink_{next(_SINK_IDS)}_{os.getpid()}"
+    q = (
+        cleaned.writeStream.format("memory")
+        .queryName(sink)
+        .option("checkpointLocation", os.path.join(chk_dir, "chk"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink).select(
+        F.element_at(F.split("url", "/"), -1).cast("bigint").alias("doc_id"),
+        "n_tok", "keep_len", "n_pii_emails", "n_pii_phones", "n_pii_ips",
+        F.col("text").alias("clean_text"),
+    )
+
+
+# the extraction of "<p>text</p>" is trim(collapse(text)) + "\n\n";
+# tokens are whitespace-insensitive so n_tok is computable from the
+# raw text; the synthetic corpus carries no PII so the scrub counts
+# are zero and clean_text equals the extraction (the POSITIVE-match
+# redaction behavior is covered by the batch pii_redact oracle)
+STREAM_CORPUS_CLEAN_SQL = """
+SELECT doc_id,
+       CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT)
+         AS n_tok,
+       CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) >= 15
+            AS INT) AS keep_len,
+       CAST(0 AS BIGINT) AS n_pii_emails,
+       CAST(0 AS BIGINT) AS n_pii_phones,
+       CAST(0 AS BIGINT) AS n_pii_ips,
+       trim(regexp_replace(text, ' +', ' ', 'g')) || chr(10) || chr(10)
+         AS clean_text
+FROM documents
+"""
+
+
 QUERIES = {
     "extract_stream_plain": extract_stream_plain,
     "stream_dedup_stateful": stream_dedup_stateful,
     "stream_dedup_native": stream_dedup_native,
     "stream_events_windowed": stream_events_windowed,
+    "stream_corpus_clean": stream_corpus_clean,
 }
 ORACLES = {
     "extract_stream_plain": EXTRACT_STREAM_PLAIN_SQL,
     "stream_dedup_stateful": STREAM_DEDUP_STATEFUL_SQL,
     "stream_dedup_native": STREAM_DEDUP_STATEFUL_SQL,
     "stream_events_windowed": STREAM_EVENTS_WINDOWED_SQL,
+    "stream_corpus_clean": STREAM_CORPUS_CLEAN_SQL,
 }
