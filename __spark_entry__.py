@@ -76,13 +76,13 @@ def _wrap(fn: Callable) -> Callable:
 def _collect():
     from docwire_spark.ops import (
         cluster, corpus_filter, dedup, extraction, extraction_binary, graph,
-        index, multimodal, relational, similarity, stream_extract, textstats,
-        web,
+        index, multimodal, packing, relational, similarity, stream_extract,
+        textstats, web,
     )
 
     modules = (extraction, extraction_binary, stream_extract, textstats,
-               corpus_filter, index, cluster, web, graph, dedup, similarity,
-               multimodal, relational)
+               corpus_filter, index, cluster, web, graph, packing, dedup,
+               similarity, multimodal, relational)
     q: dict[str, Callable] = {}
     o: dict[str, str] = {}
     for m in modules:

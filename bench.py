@@ -51,6 +51,7 @@ HEADLINE = [
     "corpus_mix_planner",
     "inverted_index",
     "lang_balance",
+    "pack_sequences",
     # web / graph
     "url_canonicalize",
     "host_stats",
