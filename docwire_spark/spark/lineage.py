@@ -49,23 +49,15 @@ class CheckpointedWriter:
 
     # -- commit log ------------------------------------------------------
     def committed_groups(self) -> set:
-        done = set()
-        if os.path.exists(self.log_path):
-            with open(self.log_path) as f:
-                for line in f:
-                    line = line.strip()
-                    if line:
-                        done.add(json.loads(line)["group"])
-        return done
+        # delta commits share the log but carry no "group" key
+        return {
+            e["group"] for e in self._log_entries() if "group" in e
+        }
 
     def committed_buckets(self) -> set:
         done = set()
-        if os.path.exists(self.log_path):
-            with open(self.log_path) as f:
-                for line in f:
-                    line = line.strip()
-                    if line:
-                        done.update(json.loads(line)["buckets"])
+        for e in self._log_entries():
+            done.update(e.get("buckets", ()))
         return done
 
     def _append_log(self, entry: dict):
@@ -175,3 +167,78 @@ class CheckpointedWriter:
         return with_bucket.join(
             F.broadcast(committed_df), on="bucket", how="left_anti"
         ).drop("bucket")
+
+    # -- merge-on-read deltas ---------------------------------------------
+    # Iceberg's MoR contract, emulated: recrawls/corrections land as
+    # small DELTA commits (never rewriting base files); readers
+    # reconcile latest-wins per key at scan time.  Compaction is the
+    # usual background job on a real cluster; here read_merged IS the
+    # read path, so correctness never depends on compaction running.
+
+    def write_delta(self, df: DataFrame, delta_id: str,
+                    key_col: str = "url") -> bool:
+        """Commit an upsert/delete delta atomically; returns False (a
+        no-op) if ``delta_id`` already committed — the idempotency the
+        resume contract requires.  Rows with a true ``_deleted`` column
+        are tombstones (the column is added as false when absent)."""
+        if any(
+            e.get("delta_id") == delta_id for e in self._log_entries()
+        ):
+            return False
+        if "_deleted" not in df.columns:
+            df = df.withColumn("_deleted", F.lit(False))
+        seq = 1 + max(
+            (e.get("delta_seq", 0) for e in self._log_entries()), default=0
+        )
+        staging = os.path.join(
+            self.out_dir, f"_staging_delta_{uuid.uuid4().hex}"
+        )
+        df.write.mode("overwrite").parquet(staging)
+        n_rows = _parquet_row_count(staging)
+        final = os.path.join(self.out_dir, f"delta={delta_id}")
+        if os.path.exists(final):
+            shutil.rmtree(final)  # stale partial from a killed run
+        os.replace(staging, final)
+        self._append_log(
+            {"delta_id": delta_id, "delta_seq": seq, "n_rows": n_rows,
+             "key_col": key_col}
+        )
+        return True
+
+    def read_merged(self, spark, key_col: str = "url") -> DataFrame:
+        """Base ∪ committed deltas with latest-wins per key and
+        tombstone filtering — the merge-on-read scan.
+
+        Scale shape: ONE shuffle on the key (the row_number window);
+        delta files are tiny relative to base, and the window group
+        per key is (1 + times recrawled), never corpus-sized."""
+        from pyspark.sql import Window
+
+        base = self.read(spark).withColumn("_seq", F.lit(0)) \
+            .withColumn("_deleted", F.lit(False))
+        merged = base
+        deltas = sorted(
+            (e for e in self._log_entries() if "delta_id" in e),
+            key=lambda e: e["delta_seq"],
+        )
+        for e in deltas:
+            d = spark.read.parquet(
+                os.path.join(self.out_dir, f"delta={e['delta_id']}")
+            ).withColumn("_seq", F.lit(e["delta_seq"]))
+            merged = merged.unionByName(d, allowMissingColumns=True)
+        w = Window.partitionBy(key_col).orderBy(F.col("_seq").desc())
+        return (
+            merged.withColumn("_rn", F.row_number().over(w))
+            .filter((F.col("_rn") == 1) & (~F.col("_deleted")))
+            .drop("_rn", "_seq", "_deleted")
+        )
+
+    def _log_entries(self) -> list:
+        out = []
+        if os.path.exists(self.log_path):
+            with open(self.log_path) as f:
+                for line in f:
+                    line = line.strip()
+                    if line:
+                        out.append(json.loads(line))
+        return out

@@ -1,0 +1,90 @@
+"""Merge-on-read delta commits: upsert, tombstone, idempotency,
+latest-wins across multiple deltas, and resume-safety of the shared
+commit log."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture()
+def base_writer(spark, tmp_path):
+    from docwire_spark.spark.corpus import build_pages_df
+    from docwire_spark.spark.extract import extract_pages
+    from docwire_spark.spark.lineage import CheckpointedWriter
+
+    out = str(tmp_path / "mor")
+    pages = build_pages_df(spark, 120, n_hosts=8, seed=29).cache()
+    ex = extract_pages(pages, n_shards=8)
+    w = CheckpointedWriter(out, n_shards=8, groups=4)
+    w.run(ex)
+    return w
+
+
+def _delta_row(base, url, **overrides):
+    d = base.filter(F.col("url") == url)
+    for k, v in overrides.items():
+        d = d.withColumn(k, F.lit(v))
+    return d
+
+
+def test_upsert_overrides_base_row(spark, base_writer):
+    w = base_writer
+    base = w.read(spark)
+    victim = base.orderBy("url").first()
+    delta = _delta_row(base, victim["url"], extracted_text="PATCHED")
+    assert w.write_delta(delta, "fix-1") is True
+
+    merged = w.read_merged(spark)
+    assert merged.count() == base.count()
+    got = merged.filter(F.col("url") == victim["url"]).first()
+    assert got["extracted_text"] == "PATCHED"
+    # internal columns do not leak
+    for c in ("_seq", "_deleted", "_rn"):
+        assert c not in merged.columns
+
+
+def test_tombstone_deletes_row(spark, base_writer):
+    w = base_writer
+    base = w.read(spark)
+    victim = base.orderBy("url").first()
+    delta = _delta_row(base, victim["url"], _deleted=True)
+    w.write_delta(delta, "del-1")
+    merged = w.read_merged(spark)
+    assert merged.count() == base.count() - 1
+    assert merged.filter(F.col("url") == victim["url"]).count() == 0
+
+
+def test_later_delta_wins_and_replay_is_noop(spark, base_writer):
+    w = base_writer
+    base = w.read(spark)
+    victim = base.orderBy("url").first()
+    w.write_delta(_delta_row(base, victim["url"], extracted_text="V1"), "d1")
+    w.write_delta(_delta_row(base, victim["url"], extracted_text="V2"), "d2")
+    # replaying an already-committed delta is an idempotent no-op,
+    # even with different (stale) content
+    assert (
+        w.write_delta(_delta_row(base, victim["url"], extracted_text="STALE"), "d1")
+        is False
+    )
+    got = w.read_merged(spark).filter(F.col("url") == victim["url"]).first()
+    assert got["extracted_text"] == "V2"
+
+
+def test_group_resume_unaffected_by_delta_entries(spark, base_writer):
+    """Delta commits share commit_log.jsonl; the group-resume readers
+    must keep working."""
+    w = base_writer
+    base = w.read(spark)
+    victim = base.orderBy("url").first()
+    w.write_delta(_delta_row(base, victim["url"], extracted_text="X"), "d-mix")
+    assert w.committed_groups() == set(range(4))
+    assert len(w.committed_buckets()) == 8
+    # filter_uncommitted still drops everything (all buckets committed)
+    from docwire_spark.spark.corpus import build_pages_df
+
+    pages = build_pages_df(spark, 40, n_hosts=8, seed=1)
+    assert w.filter_uncommitted(pages).count() == 0
