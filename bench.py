@@ -56,6 +56,7 @@ HEADLINE = [
     "url_canonicalize",
     "host_stats",
     "url_dedup_latest",
+    "corpus_diff",
     "pagerank",
     # dedup (scale paths only)
     "dedup_exact",
