@@ -230,3 +230,18 @@ def test_lambda_bodies_never_capture_tokenization(spark):
         decontaminate(spark, SF_DIR).filter("contaminated = 1"),
         "decontaminate+filter",
     )
+
+
+def test_no_cartesian_product_in_any_headline_query(spark):
+    """Fleet-wide insurance: a refactor that degrades any headline
+    join to a cartesian product fails here even if results stay
+    correct.  (Streaming queries are excluded: building them executes
+    the stream; the two labeled exact-validation baselines are the
+    only intentional cartesians in the repo and are not headline.)"""
+    import bench
+    import __spark_entry__ as ENTRY
+
+    qs = ENTRY.queries()
+    for name in bench.HEADLINE:
+        plan = _plan(qs[name](spark, SF_DIR))
+        assert "CartesianProduct" not in plan, name
