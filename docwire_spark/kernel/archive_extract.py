@@ -45,14 +45,42 @@ class ArchiveError(Exception):
 
 
 def _bounded_decompress(make_decompressor, data: bytes) -> bytes:
-    """One-shot decompress with a hard output cap (gzip/bz2/xz carry
-    no trustworthy size up front): the decompressor stops at
-    max_length, so exceeding the cap is detected before the bytes
-    materialize."""
-    out = make_decompressor().decompress(data, MAX_MEMBER_BYTES + 1)
-    if len(out) > MAX_MEMBER_BYTES:
-        raise ArchiveError("decompressed member too large")
-    return out
+    """Decompress with a hard output cap (gzip/bz2/xz carry no
+    trustworthy size up front): max_length keeps the cap enforced
+    before the bytes materialize.  Concatenated multi-member streams
+    (pigz/bgzip-style .gz, multi-stream .bz2/.xz) are drained member
+    by member via ``unused_data``, and a stream that ends before its
+    terminator raises instead of silently yielding a prefix."""
+    out = []
+    total = 0
+    remaining = data
+    while True:
+        d = make_decompressor()
+        feed = remaining
+        while not d.eof:
+            chunk = d.decompress(feed, MAX_MEMBER_BYTES + 1 - total)
+            total += len(chunk)
+            if total > MAX_MEMBER_BYTES:
+                raise ArchiveError("decompressed member too large")
+            if chunk:
+                out.append(chunk)
+            if d.eof:
+                break
+            tail = getattr(d, "unconsumed_tail", None)
+            if tail is not None:  # zlib withholds input here on max_length
+                if tail:
+                    feed = tail
+                    continue
+                raise ArchiveError("truncated compressed stream")
+            if d.needs_input:  # bz2/lzma buffer input internally
+                raise ArchiveError("truncated compressed stream")
+            feed = b""
+        # gzip tooling pads the final member with NULs; anything else
+        # after the terminator must parse as another member (or the
+        # next decompressor raises, surfacing as a per-row error).
+        remaining = d.unused_data.lstrip(b"\x00")
+        if not remaining:
+            return b"".join(out)
 
 
 def iter_entries(data: bytes, mime: str, url: str = ""):

@@ -89,8 +89,12 @@ def filter_by_mail_max_creation_time(events, max_time):
 
 
 def filter_by_max_node_number(events, max_nodes):
-    """continuation::stop at the max_nodes-th message: one kernel
-    event ~ one chain message, so truncate the stream."""
+    """continuation::stop at the max_nodes-th message
+    (standard_filter.cpp:93-101: ``node_no++ == max_nodes -> stop``).
+    The reference counts every chain message — each emitted tag,
+    including opens/closes/text — and stops mid-span without closing
+    open elements; one kernel event ~ one chain message, so a plain
+    prefix truncation is the faithful semantics."""
     return events[:max_nodes]
 
 

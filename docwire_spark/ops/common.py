@@ -18,6 +18,11 @@ TOKENS_EXPR = "regexp_extract_all(lower(text), '[a-z0-9]+', 0)"
 #: Same tokenizer in DuckDB (group index defaults to 0 there).
 TOKENS_SQL = "regexp_extract_all(lower(text), '[a-z0-9]+')"
 
+# English stopword list shared by the quality score (ops/textstats.py)
+# and the corpus quality filter (ops/corpus_filter.py) plus their
+# DuckDB oracles — one home so the two can never desynchronize.
+STOP_EN = "'the','a','and','of','to','in','is','it','on','for'"
+
 #: GPT2-style coarse pre-tokenizer: letter runs | single digits | punct.
 BPE_EXPR = "regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9 ]', 0)"
 BPE_SQL = "regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9 ]')"

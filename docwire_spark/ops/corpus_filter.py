@@ -52,7 +52,7 @@ MIN_STOPWORDS = 2        # Gopher: >= 2 stopword hits
 MAX_SHORT_TOKEN_FRAC = 0.05   # analog of Gopher's 80%-alpha-words rule
 MAX_TOP_BIGRAM_FRAC = 0.08    # Gopher: top-2-gram <= 0.18
 
-_STOP_EN = "'the','a','and','of','to','in','is','it','on','for'"
+from .common import STOP_EN as _STOP_EN  # single home: ops/common.py
 
 # expression fragments shared verbatim between the Spark plan and the
 # DuckDB oracle modulo function-name spelling, so the double
@@ -491,22 +491,15 @@ def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     # F.expr SQL literal would strip the backslashes at parse time
     # ('\.' -> '.') and silently diverge from the RE2 oracle
     out = docs.select("doc_id", F.expr(_INJECT_SPARK).alias("raw"))
-    red = F.regexp_replace(
-        F.regexp_replace(
-            F.regexp_replace(F.col("raw"), PII_EMAIL, "<EMAIL>"),
-            PII_PHONE, "<PHONE>",
-        ),
-        PII_IPV4, "<IP>",
-    )
-    return out.select(
+    # one redactor implementation: the pipeline's redact_pii_column is
+    # also what the oracle checks here (patterns AND order shared)
+    red = redact_pii_column(out, text_col="raw")
+    return red.select(
         "doc_id",
-        red.alias("redacted"),
-        F.size(F.regexp_extract_all("raw", F.lit(PII_EMAIL), 0))
-        .cast("bigint").alias("n_emails"),
-        F.size(F.regexp_extract_all("raw", F.lit(PII_PHONE), 0))
-        .cast("bigint").alias("n_phones"),
-        F.size(F.regexp_extract_all("raw", F.lit(PII_IPV4), 0))
-        .cast("bigint").alias("n_ips"),
+        F.col("raw").alias("redacted"),
+        F.col("n_pii_emails").alias("n_emails"),
+        F.col("n_pii_phones").alias("n_phones"),
+        F.col("n_pii_ips").alias("n_ips"),
     )
 
 

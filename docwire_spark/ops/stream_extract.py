@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import itertools
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -22,6 +23,15 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from docwire_spark.ops.common import load
 
 _SINK_IDS = itertools.count()
+
+
+def _cleanup(*dirs: str) -> None:
+    """Remove the per-invocation drop/checkpoint/output scratch dirs —
+    availableNow has fully drained the source by the time
+    awaitTermination returns, so repeated sweeps don't accumulate
+    corpus-sized parquet copies in /tmp."""
+    for d in dirs:
+        shutil.rmtree(d, ignore_errors=True)
 
 
 def extract_stream_plain(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -66,6 +76,7 @@ def extract_stream_plain(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
+    _cleanup(drop_dir, chk_dir)
     return spark.table(sink).select(
         F.element_at(F.split("url", "/"), -1).cast("bigint").alias("doc_id"),
         "mime",
@@ -125,7 +136,12 @@ def stream_dedup_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    return spark.read.parquet(out_dir).select("host", "fp").distinct()
+    res = (
+        spark.read.parquet(out_dir).select("host", "fp").distinct()
+        .localCheckpoint(eager=True)  # materialize so out_dir can go
+    )
+    _cleanup(drop_dir, chk_dir, out_dir)
+    return res
 
 
 STREAM_DEDUP_STATEFUL_SQL = """
@@ -176,7 +192,12 @@ def stream_dedup_native(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    return spark.read.parquet(out_dir).select("host", "fp").distinct()
+    res = (
+        spark.read.parquet(out_dir).select("host", "fp").distinct()
+        .localCheckpoint(eager=True)
+    )
+    _cleanup(drop_dir, chk_dir, out_dir)
+    return res
 
 
 #: NTZ -> epoch µs (session-tz-proof; events.ts is TIMESTAMP_NTZ and
@@ -240,6 +261,7 @@ def stream_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
+    _cleanup(drop_dir, chk_dir)
     return spark.table(sink)
 
 
@@ -320,6 +342,7 @@ def stream_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
+    _cleanup(drop_dir, chk_dir)
     return spark.table(sink).select(
         F.element_at(F.split("url", "/"), -1).cast("bigint").alias("doc_id"),
         "n_tok", "keep_len", "n_pii_emails", "n_pii_phones", "n_pii_ips",

@@ -60,7 +60,7 @@ FROM documents
 # quality scoring
 # ---------------------------------------------------------------------------
 
-_STOP_EN = "'the','a','and','of','to','in','is','it','on','for'"
+from .common import STOP_EN as _STOP_EN  # single home: ops/common.py
 
 
 def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -167,3 +167,31 @@ def test_extract_tree_surfaces_pst_attachments():
     assert [(u, p, d) for u, p, d, *_ in rows] == [
         ("a.pst", None, 0), ("note.txt", "a.pst", 1),
     ]
+
+
+def test_multi_member_gz_extracts_all_members():
+    # pigz/bgzip emit concatenated gzip members; RFC 1952 says a
+    # multi-member file decompresses to the concatenation
+    data = gzip.compress(b"hello ") + gzip.compress(b"world")
+    assert extract(data, url="x.txt.gz").text == b"hello world\n\n"
+
+
+def test_truncated_gz_is_a_row_error_not_silent_prefix():
+    data = gzip.compress(b"hello world, quite long payload " * 20)[:-10]
+    res = extract(data, url="x.txt.gz")
+    assert res.error is not None
+
+
+def test_multi_stream_bz2_and_padding():
+    import bz2
+    from docwire_spark.kernel.archive_extract import _bounded_decompress
+
+    assert _bounded_decompress(
+        bz2.BZ2Decompressor, bz2.compress(b"aa ") + bz2.compress(b"bb")
+    ) == b"aa bb"
+    # trailing NUL padding after the final member is tolerated
+    mk = __import__("functools").partial(
+        __import__("zlib").decompressobj, 31
+    )
+    assert _bounded_decompress(mk, gzip.compress(b"pad") + b"\x00" * 16) \
+        == b"pad"
