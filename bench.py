@@ -52,6 +52,9 @@ HEADLINE = [
     "inverted_index",
     "lang_balance",
     "pack_sequences",
+    "train_shuffle_export",
+    "ml_quality_score",
+    "bloom_url_blocklist",
     # web / graph
     "url_canonicalize",
     "host_stats",

@@ -106,5 +106,77 @@ FROM c
 """
 
 
-QUERIES = {"pack_sequences": pack_sequences}
-ORACLES = {"pack_sequences": PACK_SEQUENCES_SQL}
+SHARD_SIZE = 128
+_SHUFFLE_KEY = "md5('s42:' || CAST(doc_id AS {s}))"
+
+
+def train_shuffle_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training shuffle: every doc gets a
+    (shard, pos_in_shard) slot under a pseudo-random permutation —
+    the order a data loader will stream, reproducible across reruns
+    because the key is ``md5(salt:doc_id)``, not ``rand()``.
+
+    The global rank under the shuffled order is the same two-phase
+    prefix-sum shape as ``pack_sequences``, with one structural
+    advantage unique to shuffling: the bucket IS the first byte of
+    the hash key, so buckets are uniform BY CONSTRUCTION — no range
+    sampling, no skew handling, and the cross-bucket phase is an
+    exact 256-row problem at any corpus size.  A plain
+    ``orderBy(key)`` would need Spark's range-sampling pass over the
+    full corpus to find balanced boundaries; the hash prefix makes
+    the boundaries free.  All arithmetic BIGINT-exact, so shard
+    layouts are bit-identical across engines and partitionings."""
+    from pyspark.sql import Window
+
+    keyed = load(spark, sf_dir, "documents", parallelize=True).selectExpr(
+        "doc_id",
+        _SHUFFLE_KEY.format(s="STRING") + " AS skey",
+    ).withColumn("bkt", F.expr("CAST(conv(substr(skey, 1, 2), 16, 10)"
+                               " AS BIGINT)"))
+    w_in = Window.partitionBy("bkt").orderBy("skey", "doc_id")
+    intra = keyed.withColumn(
+        "intra", F.row_number().over(w_in).cast("bigint")
+    )
+    w_b = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    boff = (
+        keyed.groupBy("bkt")
+        .agg(F.count("*").cast("bigint").alias("btot"))
+        .withColumn(
+            "boff",
+            F.coalesce(F.sum("btot").over(w_b), F.lit(0)).cast("bigint"),
+        )
+        .select("bkt", "boff")
+    )
+    ranked = intra.join(boff, "bkt").withColumn(
+        "rank", (F.col("boff") + F.col("intra") - 1).cast("bigint")
+    )
+    return ranked.select(
+        "doc_id",
+        F.expr(f"CAST(rank DIV {SHARD_SIZE} AS BIGINT)").alias("shard"),
+        F.expr(f"CAST(rank % {SHARD_SIZE} AS BIGINT)").alias("pos_in_shard"),
+    )
+
+
+_DUCK_KEY = _SHUFFLE_KEY.format(s="VARCHAR")
+TRAIN_SHUFFLE_EXPORT_SQL = f"""
+WITH r AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY {_DUCK_KEY}, doc_id) - 1
+              AS BIGINT) AS rank
+  FROM documents
+)
+SELECT doc_id,
+       CAST(rank // {SHARD_SIZE} AS BIGINT) AS shard,
+       CAST(rank % {SHARD_SIZE} AS BIGINT) AS pos_in_shard
+FROM r
+"""
+
+
+QUERIES = {
+    "pack_sequences": pack_sequences,
+    "train_shuffle_export": train_shuffle_export,
+}
+ORACLES = {
+    "pack_sequences": PACK_SEQUENCES_SQL,
+    "train_shuffle_export": TRAIN_SHUFFLE_EXPORT_SQL,
+}
