@@ -55,6 +55,7 @@ HEADLINE = [
     "train_shuffle_export",
     "ml_quality_score",
     "bloom_url_blocklist",
+    "hll_registers",
     # web / graph
     "url_canonicalize",
     "host_stats",
