@@ -118,10 +118,11 @@ def train_shuffle_export(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The global rank under the shuffled order is the same two-phase
     prefix-sum shape as ``pack_sequences``, with one structural
-    advantage unique to shuffling: the bucket IS the first byte of
-    the hash key, so buckets are uniform BY CONSTRUCTION — no range
-    sampling, no skew handling, and the cross-bucket phase is an
-    exact 256-row problem at any corpus size.  A plain
+    advantage unique to shuffling: the bucket IS the first two bytes
+    of the hash key, so buckets are uniform BY CONSTRUCTION — no
+    range sampling, no skew handling, the cross-bucket phase is an
+    exact 65536-row problem at any corpus size, and per-bucket
+    windows hold corpus/65536 rows (~15M at 10^12 docs).  A plain
     ``orderBy(key)`` would need Spark's range-sampling pass over the
     full corpus to find balanced boundaries; the hash prefix makes
     the boundaries free.  All arithmetic BIGINT-exact, so shard
@@ -131,7 +132,7 @@ def train_shuffle_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed = load(spark, sf_dir, "documents", parallelize=True).selectExpr(
         "doc_id",
         _SHUFFLE_KEY.format(s="STRING") + " AS skey",
-    ).withColumn("bkt", F.expr("CAST(conv(substr(skey, 1, 2), 16, 10)"
+    ).withColumn("bkt", F.expr("CAST(conv(substr(skey, 1, 4), 16, 10)"
                                " AS BIGINT)"))
     w_in = Window.partitionBy("bkt").orderBy("skey", "doc_id")
     intra = keyed.withColumn(
