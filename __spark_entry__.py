@@ -77,12 +77,13 @@ def _collect():
     from docwire_spark.ops import (
         bloom, classify, cluster, corpus_filter, dedup, diff, extraction,
         extraction_binary, graph, hll, index, multimodal, packing, relational,
-        similarity, stream_extract, textstats, web,
+        similarity, stream_extract, textstats, web, zorder,
     )
 
     modules = (extraction, extraction_binary, stream_extract, textstats,
                corpus_filter, index, cluster, web, graph, packing, diff, dedup,
-               similarity, multimodal, relational, bloom, classify, hll)
+               similarity, multimodal, relational, bloom, classify, hll,
+               zorder)
     q: dict[str, Callable] = {}
     o: dict[str, str] = {}
     for m in modules:

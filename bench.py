@@ -56,6 +56,7 @@ HEADLINE = [
     "ml_quality_score",
     "bloom_url_blocklist",
     "hll_registers",
+    "zorder_layout",
     # web / graph
     "url_canonicalize",
     "host_stats",
