@@ -54,11 +54,18 @@ def build_session(
     extra_conf: dict | None = None,
 ) -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    master = master or f"local[{cpus}]"
+    if master is None and "PYSPARK_GATEWAY_PORT" not in os.environ:
+        # PYSPARK_GATEWAY_PORT is set only when spark-submit's
+        # PythonRunner launched this process — there, --master arrived
+        # with the JVM and must not be overridden; plain `python
+        # job.py` still defaults to local[N]
+        master = f"local[{cpus}]"
     shuffle_partitions = shuffle_partitions or int(cpus) if str(cpus).isdigit() else 32
+    b = SparkSession.builder.appName(app_name)
+    if master is not None:
+        b = b.master(master)
     b = (
-        SparkSession.builder.master(master)
-        .appName(app_name)
+        b
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
