@@ -75,7 +75,7 @@ def _wrap(fn: Callable) -> Callable:
 
 def _collect():
     from docwire_spark.ops import (
-        bloom, classify, cluster, corpus_filter, dedup, diff, extraction,
+        bloom, classify, cluster, cms, corpus_filter, dedup, diff, extraction,
         extraction_binary, graph, hll, index, multimodal, packing, relational,
         similarity, stream_extract, textstats, web, zorder,
     )
@@ -83,7 +83,7 @@ def _collect():
     modules = (extraction, extraction_binary, stream_extract, textstats,
                corpus_filter, index, cluster, web, graph, packing, diff, dedup,
                similarity, multimodal, relational, bloom, classify, hll,
-               zorder)
+               zorder, cms)
     q: dict[str, Callable] = {}
     o: dict[str, str] = {}
     for m in modules:

@@ -57,6 +57,7 @@ HEADLINE = [
     "bloom_url_blocklist",
     "hll_registers",
     "zorder_layout",
+    "cms_grid",
     # web / graph
     "url_canonicalize",
     "host_stats",
