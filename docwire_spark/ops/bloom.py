@@ -55,18 +55,23 @@ _URL_SPARK = _URL.format(s="STRING")
 _URL_DUCK = _URL.format(s="VARCHAR")
 
 
-def hash_expr(col: str, j: int, m: int | None = None) -> str:
+def hash_expr(col: str, j: int, m: int | None = None,
+              of_hex: bool = False) -> str:
     """Hash j (0-based) of ``col``: fold 8 hex chars of md5 (chars
     8j+1..8j+8) to a BIGINT, mod m.  Pure ANSI string/arithmetic ops
     — byte-identical results in Spark SQL and DuckDB (verified in
     tests), so oracles can replay the sketch exactly.
 
     ``m`` resolves against the module attribute at CALL time (not def
-    time) so tests can shrink the bit space to force false positives."""
+    time) so tests can shrink the bit space to force false positives.
+    ``of_hex=True`` means ``col`` already holds the md5 hex string —
+    use it when several hashes of one value share a projection, so
+    the digest computes once instead of once per hash."""
     if m is None:
         m = BLOOM_M
+    src = col if of_hex else f"md5({col})"
     terms = " + ".join(
-        f"CAST(position(substr(md5({col}), {j * 8 + i + 1}, 1)"
+        f"CAST(position(substr({src}, {j * 8 + i + 1}, 1)"
         f" IN '0123456789abcdef') - 1 AS BIGINT) * {16 ** (7 - i)}"
         for i in range(8)
     )

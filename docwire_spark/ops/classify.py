@@ -29,11 +29,19 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .bloom import hash_expr
-from .common import TOKENS_EXPR, TOKENS_SQL, load
+from .common import load
 
 #: weight buckets (feature-hash space) — production D is 1e5-1e6;
 #: 4096 keeps the oracle cheap while exercising real collisions
 N_BUCKETS = 4096
+
+#: NULL text scores as the empty document in BOTH engines (without
+#: the coalesce, Spark's aggregate over a NULL array yields NULL
+#: score/label while the oracle's coalesce yields 0 — a cross-engine
+#: divergence on the first real corpus with a NULL text)
+_TOK = "regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+'{idx})"
+_TOK_SPARK = _TOK.format(idx=", 0")
+_TOK_DUCK = _TOK.format(idx="")
 
 
 def _weight_lambda() -> str:
@@ -51,7 +59,7 @@ def ml_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = _weight_lambda()
     return docs.selectExpr(
         "doc_id",
-        f"{TOKENS_EXPR} AS tokens",
+        f"{_TOK_SPARK} AS tokens",
     ).selectExpr(
         "doc_id",
         "CAST(size(tokens) AS BIGINT) AS n_tok",
@@ -66,7 +74,7 @@ def ml_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ML_QUALITY_SCORE_SQL = f"""
 WITH t AS (
-  SELECT doc_id, {TOKENS_SQL} AS tokens
+  SELECT doc_id, {_TOK_DUCK} AS tokens
   FROM documents
 )
 SELECT doc_id,

@@ -43,16 +43,19 @@ def cms_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         " i -> concat(element_at(ts, i), ' ', element_at(ts, i + 1)))"
         " ELSE array() END) AS gram"
     )
-    rows = [
-        grams.selectExpr(
-            f"CAST({j} AS BIGINT) AS row",
-            f"CAST({hash_expr('gram', j, CMS_W)} AS BIGINT) AS col",
-        )
+    # ONE pass: a union of d selects over grams would re-run the
+    # scan + tokenize + explode d times; instead hash the digest once
+    # and explode the d (row, col) pairs from a single projection
+    structs = ", ".join(
+        f"struct(CAST({j} AS BIGINT) AS row,"
+        f" CAST({hash_expr('h', j, CMS_W, of_hex=True)} AS BIGINT) AS col)"
         for j in range(CMS_D)
-    ]
-    cells = rows[0]
-    for r in rows[1:]:
-        cells = cells.unionAll(r)
+    )
+    cells = (
+        grams.selectExpr("md5(gram) AS h")
+        .selectExpr(f"explode(array({structs})) AS rc")
+        .select("rc.row", "rc.col")
+    )
     return (
         cells.groupBy("row", "col")
         .agg(F.count("*").alias("cnt"))

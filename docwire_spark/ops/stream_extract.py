@@ -67,16 +67,18 @@ def extract_stream_plain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     extracted = extract_stream(stream_pages, n_shards=16)
     sink = f"stream_oracle_sink_{next(_SINK_IDS)}_{os.getpid()}"
-    q = (
-        extracted.writeStream.format("memory")
-        .queryName(sink)
-        .option("checkpointLocation", os.path.join(chk_dir, "chk"))
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    _cleanup(drop_dir, chk_dir)
+    try:
+        q = (
+            extracted.writeStream.format("memory")
+            .queryName(sink)
+            .option("checkpointLocation", os.path.join(chk_dir, "chk"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        _cleanup(drop_dir, chk_dir)
     return spark.table(sink).select(
         F.element_at(F.split("url", "/"), -1).cast("bigint").alias("doc_id"),
         "mime",
@@ -126,21 +128,23 @@ def stream_dedup_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)  # force multiple micro-batches
         .load(drop_dir)
     )
-    q = (
-        stream_dedup(stream_pages)
-        .writeStream.format("parquet")
-        .option("path", out_dir)
-        .option("checkpointLocation", os.path.join(chk_dir, "chk"))
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    res = (
-        spark.read.parquet(out_dir).select("host", "fp").distinct()
-        .localCheckpoint(eager=True)  # materialize so out_dir can go
-    )
-    _cleanup(drop_dir, chk_dir, out_dir)
+    try:
+        q = (
+            stream_dedup(stream_pages)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", os.path.join(chk_dir, "chk"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        res = (
+            spark.read.parquet(out_dir).select("host", "fp").distinct()
+            .localCheckpoint(eager=True)  # materialize so out_dir can go
+        )
+    finally:
+        _cleanup(drop_dir, chk_dir, out_dir)
     return res
 
 
@@ -182,21 +186,23 @@ def stream_dedup_native(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .load(drop_dir)
     )
-    q = (
-        stream_dedup_native(stream_pages)
-        .writeStream.format("parquet")
-        .option("path", out_dir)
-        .option("checkpointLocation", os.path.join(chk_dir, "chk"))
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    res = (
-        spark.read.parquet(out_dir).select("host", "fp").distinct()
-        .localCheckpoint(eager=True)
-    )
-    _cleanup(drop_dir, chk_dir, out_dir)
+    try:
+        q = (
+            stream_dedup_native(stream_pages)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", os.path.join(chk_dir, "chk"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        res = (
+            spark.read.parquet(out_dir).select("host", "fp").distinct()
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        _cleanup(drop_dir, chk_dir, out_dir)
     return res
 
 
@@ -252,16 +258,18 @@ def stream_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", "n_events", "value_cents",
     )
     sink = f"stream_win_sink_{next(_SINK_IDS)}_{os.getpid()}"
-    q = (
-        out.writeStream.format("memory")
-        .queryName(sink)
-        .option("checkpointLocation", os.path.join(chk_dir, "chk"))
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    _cleanup(drop_dir, chk_dir)
+    try:
+        q = (
+            out.writeStream.format("memory")
+            .queryName(sink)
+            .option("checkpointLocation", os.path.join(chk_dir, "chk"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        _cleanup(drop_dir, chk_dir)
     return spark.table(sink)
 
 
@@ -333,16 +341,18 @@ def stream_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text",
     )
     sink = f"stream_clean_sink_{next(_SINK_IDS)}_{os.getpid()}"
-    q = (
-        cleaned.writeStream.format("memory")
-        .queryName(sink)
-        .option("checkpointLocation", os.path.join(chk_dir, "chk"))
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    _cleanup(drop_dir, chk_dir)
+    try:
+        q = (
+            cleaned.writeStream.format("memory")
+            .queryName(sink)
+            .option("checkpointLocation", os.path.join(chk_dir, "chk"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        _cleanup(drop_dir, chk_dir)
     return spark.table(sink).select(
         F.element_at(F.split("url", "/"), -1).cast("bigint").alias("doc_id"),
         "n_tok", "keep_len", "n_pii_emails", "n_pii_phones", "n_pii_ips",

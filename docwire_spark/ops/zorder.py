@@ -53,9 +53,16 @@ _SHL_DUCK = "({x} << {n})"
 def zorder_stamp(docs: DataFrame) -> DataFrame:
     """Stamp (lang_rank, len_rank, zval) onto a documents frame —
     two bounded dictionary builds + broadcast joins + one map-side
-    interleave expression."""
+    interleave expression.
+
+    NULL keys (undetected lang, missing length) are normalized to
+    sentinel values FIRST — the dictionary joins are inner equi-joins
+    and NULL never equi-matches, so without this a physical rewrite
+    would silently drop those rows."""
     from pyspark.sql import Window
 
+    docs = docs.withColumn("lang", F.coalesce("lang", F.lit(""))) \
+               .withColumn("n_chars", F.coalesce("n_chars", F.lit(-1)))
     langs = (
         docs.select("lang").distinct()
         .withColumn(

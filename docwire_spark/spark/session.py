@@ -60,7 +60,8 @@ def build_session(
         # with the JVM and must not be overridden; plain `python
         # job.py` still defaults to local[N]
         master = f"local[{cpus}]"
-    shuffle_partitions = shuffle_partitions or int(cpus) if str(cpus).isdigit() else 32
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cpus) if str(cpus).isdigit() else 32
     b = SparkSession.builder.appName(app_name)
     if master is not None:
         b = b.master(master)

@@ -74,10 +74,10 @@ def test_shuffle_export_stable_across_partitionings(spark):
 
 def test_shuffle_export_global_window_is_bucket_sized(spark):
     """The only unpartitioned window must run over per-bucket totals
-    (<=256 rows from the hash-prefix bucketing), never over the docs
-    themselves — the accidental-serialization trap."""
+    (<=65536 rows from the two-byte hash-prefix bucketing), never
+    over the docs themselves — the accidental-serialization trap."""
     plan = _plan(train_shuffle_export(spark, SF))
-    assert "SinglePartition" in plan  # the 256-row phase exists...
+    assert "SinglePartition" in plan  # the bucket-totals phase exists...
     import re
 
     # ...and every window over docs is partitioned by bucket

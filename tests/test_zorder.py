@@ -61,10 +61,15 @@ def test_zorder_rewrite_has_no_global_window(spark):
     )
     plan = zorder_rewrite(docs, 8)._jdf.queryExecution() \
         .executedPlan().toString()
-    # the only SinglePartition windows run over the tiny dictionaries
+    # every window must rank a DICTIONARY (ordered by lang or
+    # n_chars) — a window mentioning zval would be a global rank over
+    # the docs themselves, the accidental-serialization trap
     import re
 
-    for m in re.finditer(r"Window \[[^\n]*", plan):
-        assert "row_number" in m.group(0)
+    wins = re.findall(r"Window \[[^\n]*", plan)
+    assert wins  # the two dictionary ranks exist
+    for w in wins:
+        assert "zval" not in w, w
+        assert "lang" in w or "n_chars" in w, w
     assert "rangepartitioning" in plan.lower()
     assert "CartesianProduct" not in plan
