@@ -73,3 +73,16 @@ def test_zorder_rewrite_has_no_global_window(spark):
         assert "lang" in w or "n_chars" in w, w
     assert "rangepartitioning" in plan.lower()
     assert "CartesianProduct" not in plan
+
+
+def test_zorder_rewrite_keeps_null_key_rows(spark):
+    """A physical rewrite must never drop rows: NULL lang/n_chars
+    (undetected language, missing length) normalize to sentinels
+    instead of vanishing through the inner dictionary joins."""
+    rows = [(1, "en", 100), (2, None, 50), (3, "de", None),
+            (4, None, None)]
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, lang string, n_chars bigint"
+    )
+    out = zorder_rewrite(df, 2).select("doc_id").collect()
+    assert sorted(r.doc_id for r in out) == [1, 2, 3, 4]
