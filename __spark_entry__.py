@@ -75,15 +75,15 @@ def _wrap(fn: Callable) -> Callable:
 
 def _collect():
     from docwire_spark.ops import (
-        bloom, classify, cluster, cms, corpus_filter, dedup, diff, extraction,
-        extraction_binary, graph, hll, index, multimodal, packing, relational,
-        similarity, stream_extract, textstats, web, zorder,
+        bloom, chunking, classify, cluster, cms, corpus_filter, dedup, diff,
+        extraction, extraction_binary, graph, hll, index, multimodal, packing,
+        relational, similarity, stream_extract, textstats, web, zorder,
     )
 
     modules = (extraction, extraction_binary, stream_extract, textstats,
                corpus_filter, index, cluster, web, graph, packing, diff, dedup,
                similarity, multimodal, relational, bloom, classify, hll,
-               zorder, cms)
+               zorder, cms, chunking)
     q: dict[str, Callable] = {}
     o: dict[str, str] = {}
     for m in modules:

@@ -58,6 +58,7 @@ HEADLINE = [
     "hll_registers",
     "zorder_layout",
     "cms_grid",
+    "chunk_windows",
     # web / graph
     "url_canonicalize",
     "host_stats",
