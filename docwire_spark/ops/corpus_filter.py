@@ -458,8 +458,13 @@ WHERE (t.doc_id % {DECON_EVAL_MOD}) <> {DECON_EVAL_REM}
 
 #: patterns shared by both engines.  Restricted to the syntax subset
 #: where Java regex (Spark) and RE2 (DuckDB) agree: explicit classes,
-#: bounded repeats, no backrefs/lookaround/word-boundaries.
-PII_EMAIL = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,4}"
+#: bounded repeats, no backrefs/lookaround/word-boundaries.  The email
+#: class is explicitly mixed-case ([A-Za-z], not a case-insensitive
+#: flag — flag syntax differs between the engines) and the TLD bound
+#: covers the long generic TLDs (.online, .agency, .international —
+#: the longest delegated TLD is 24 chars): a privacy pass that lets
+#: John.Doe@Example.COM through is silently broken (ADVICE r3).
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,24}"
 PII_PHONE = r"\+[0-9]{1,2}-[0-9]{3}-[0-9]{3,4}"
 PII_IPV4 = r"([0-9]{1,3}\.){3}[0-9]{1,3}"
 

@@ -55,27 +55,35 @@ def zorder_stamp(docs: DataFrame) -> DataFrame:
     two bounded dictionary builds + broadcast joins + one map-side
     interleave expression.
 
+    ALL input columns are preserved (the stamp only appends): the
+    physical rewrite below must emit the full table, clustered, with
+    the original lang/n_chars values intact so the rewritten files
+    carry the tight min/max stats the layout exists for.
+
     NULL keys (undetected lang, missing length) are normalized to
-    sentinel values FIRST — the dictionary joins are inner equi-joins
-    and NULL never equi-matches, so without this a physical rewrite
-    would silently drop those rows."""
+    sentinel values in separate join-key columns — the dictionary
+    joins are inner equi-joins and NULL never equi-matches, so
+    without this a physical rewrite would silently drop those rows.
+    The sentinels never leak into the output columns."""
     from pyspark.sql import Window
 
-    docs = docs.withColumn("lang", F.coalesce("lang", F.lit(""))) \
-               .withColumn("n_chars", F.coalesce("n_chars", F.lit(-1)))
+    in_cols = docs.columns
+    docs = docs.withColumn("_zlang", F.coalesce(F.col("lang"), F.lit(""))) \
+               .withColumn("_zlen",
+                           F.coalesce(F.col("n_chars"), F.lit(-1)))
     langs = (
-        docs.select("lang").distinct()
+        docs.select("_zlang").distinct()
         .withColumn(
             "lang_rank",
-            (F.row_number().over(Window.orderBy("lang")) - 1)
+            (F.row_number().over(Window.orderBy("_zlang")) - 1)
             .cast("bigint"),
         )
     )
     lens = (
-        docs.select("n_chars").distinct()
+        docs.select("_zlen").distinct()
         .withColumn(
             "len_rank",
-            (F.row_number().over(Window.orderBy("n_chars")) - 1)
+            (F.row_number().over(Window.orderBy("_zlen")) - 1)
             .cast("bigint"),
         )
         # clamp into 16 bits; production rewrites quantile-bucket
@@ -83,10 +91,10 @@ def zorder_stamp(docs: DataFrame) -> DataFrame:
     )
     z = _interleave16("lang_rank", "len_rank", _SHL_SPARK)
     return (
-        docs.join(F.broadcast(langs), "lang")
-        .join(F.broadcast(lens), "n_chars")
+        docs.join(F.broadcast(langs), "_zlang")
+        .join(F.broadcast(lens), "_zlen")
         .selectExpr(
-            "doc_id", "lang_rank", "len_rank",
+            *in_cols, "lang_rank", "len_rank",
             f"CAST({z} AS BIGINT) AS zval",
         )
     )
@@ -96,37 +104,49 @@ def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").select(
         "doc_id", "lang", F.col("n_chars").cast("bigint").alias("n_chars")
     )
-    return zorder_stamp(docs)
+    return zorder_stamp(docs).select(
+        "doc_id", "lang_rank", "len_rank", "zval"
+    )
 
 
 def zorder_rewrite(docs: DataFrame, n_files: int) -> DataFrame:
     """The physical OPTIMIZE: range-partition along the z-curve and
     sort within partitions; each output partition becomes one file
-    whose (lang, n_chars) min/max stats are tight."""
+    carrying ALL original columns with tight (lang, n_chars) min/max
+    stats.  The rank/zval helper columns are dropped after the sort
+    (a narrow projection — partition order is preserved), so the
+    rewrite is a drop-in replacement for the input table."""
     return (
         zorder_stamp(docs)
         .repartitionByRange(n_files, "zval", "doc_id")
         .sortWithinPartitions("zval", "doc_id")
+        .drop("lang_rank", "len_rank", "zval")
     )
 
 
 _ZD = _interleave16("lang_rank", "len_rank", _SHL_DUCK)
+# the oracle mirrors zorder_stamp's NULL normalization (lang -> '',
+# n_chars -> -1) so NULL-key rows survive the inner joins and rank
+# identically in both engines ('' sorts first; NULL would sort last
+# in DuckDB and drop via USING joins)
 ZORDER_LAYOUT_SQL = f"""
 WITH langs AS (
   SELECT lang,
          CAST(row_number() OVER (ORDER BY lang) - 1 AS BIGINT)
            AS lang_rank
-  FROM (SELECT DISTINCT lang FROM documents)
+  FROM (SELECT DISTINCT coalesce(lang, '') AS lang FROM documents)
 ),
 lens AS (
   SELECT n_chars,
          CAST((row_number() OVER (ORDER BY n_chars) - 1) % 65536
               AS BIGINT) AS len_rank
-  FROM (SELECT DISTINCT n_chars FROM documents)
+  FROM (SELECT DISTINCT coalesce(n_chars, -1) AS n_chars FROM documents)
 )
 SELECT d.doc_id, l.lang_rank, n.len_rank,
        CAST({_ZD} AS BIGINT) AS zval
-FROM documents d JOIN langs l USING (lang) JOIN lens n USING (n_chars)
+FROM documents d
+JOIN langs l ON coalesce(d.lang, '') = l.lang
+JOIN lens n ON coalesce(d.n_chars, -1) = n.n_chars
 """
 
 

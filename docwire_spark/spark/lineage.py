@@ -211,7 +211,13 @@ class CheckpointedWriter:
 
         Scale shape: ONE shuffle on the key (the row_number window);
         delta files are tiny relative to base, and the window group
-        per key is (1 + times recrawled), never corpus-sized."""
+        per key is (1 + times recrawled), never corpus-sized.
+
+        Determinism: _seq alone under-orders when one delta (or the
+        base) carries two rows with the same key — row_number would
+        then pick one nondeterministically across reads of the SAME
+        committed state.  A stable full-row hash breaks the tie, so
+        repeated scans always reconcile to the same row (ADVICE r3)."""
         from pyspark.sql import Window
 
         base = self.read(spark).withColumn("_seq", F.lit(0)) \
@@ -226,11 +232,15 @@ class CheckpointedWriter:
                 os.path.join(self.out_dir, f"delta={e['delta_id']}")
             ).withColumn("_seq", F.lit(e["delta_seq"]))
             merged = merged.unionByName(d, allowMissingColumns=True)
-        w = Window.partitionBy(key_col).orderBy(F.col("_seq").desc())
+        tie_cols = sorted(c for c in merged.columns if c != "_seq")
+        merged = merged.withColumn("_tie", F.xxhash64(*tie_cols))
+        w = Window.partitionBy(key_col).orderBy(
+            F.col("_seq").desc(), F.col("_tie").asc()
+        )
         return (
             merged.withColumn("_rn", F.row_number().over(w))
             .filter((F.col("_rn") == 1) & (~F.col("_deleted")))
-            .drop("_rn", "_seq", "_deleted")
+            .drop("_rn", "_seq", "_deleted", "_tie")
         )
 
     def _log_entries(self) -> list:

@@ -58,6 +58,29 @@ def test_tombstone_deletes_row(spark, base_writer):
     assert merged.filter(F.col("url") == victim["url"]).count() == 0
 
 
+def test_duplicate_key_within_delta_resolves_deterministically(
+    spark, base_writer
+):
+    """ADVICE r3: two rows with the same key inside ONE delta share
+    _seq; the stable row-hash tiebreaker must make repeated reads of
+    the same committed state return the same row every time."""
+    w = base_writer
+    base = w.read(spark)
+    victim = base.orderBy("url").first()
+    dup = _delta_row(base, victim["url"], extracted_text="A").unionByName(
+        _delta_row(base, victim["url"], extracted_text="B")
+    )
+    w.write_delta(dup, "dup-1")
+    picks = {
+        w.read_merged(spark)
+        .filter(F.col("url") == victim["url"])
+        .first()["extracted_text"]
+        for _ in range(4)
+    }
+    assert len(picks) == 1, picks
+    assert picks <= {"A", "B"}
+
+
 def test_later_delta_wins_and_replay_is_noop(spark, base_writer):
     w = base_writer
     base = w.read(spark)

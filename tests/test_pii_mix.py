@@ -42,6 +42,27 @@ def test_pii_redact_scrubs_all_injected_pii(spark):
         assert not re.search(PII_IPV4, r["redacted"])
 
 
+def test_pii_redact_handles_mixed_case_and_long_tlds(spark):
+    """ADVICE r3: uppercase addresses and long generic TLDs must not
+    slip through the privacy pass."""
+    from docwire_spark.ops.corpus_filter import redact_pii_column
+
+    rows = [
+        (1, "mail John.Doe@Example.COM today"),
+        (2, "see info@startup.online and ops@corp.agency"),
+        (3, "UPPER@CASE.ORG plus lower@case.org"),
+        (4, "no pii here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r.doc_id: r for r in redact_pii_column(df).collect()}
+    assert out[1].n_pii_emails == 1 and "<EMAIL>" in out[1].text
+    assert "John.Doe" not in out[1].text
+    assert out[2].n_pii_emails == 2
+    assert "startup.online" not in out[2].text
+    assert out[3].n_pii_emails == 2 and "CASE.ORG" not in out[3].text
+    assert out[4].n_pii_emails == 0 and out[4].text == "no pii here"
+
+
 def test_pii_redact_is_map_side_only(spark):
     """PII scrubbing must pipeline into the scan: no Exchange, no
     Python eval node."""

@@ -45,9 +45,13 @@ def test_zorder_layout_tightens_file_stats(spark):
         )
         return spans.sp
 
-    z = avg_span_product(zorder_rewrite(docs, n_files))
     from docwire_spark.ops.zorder import zorder_stamp
 
+    z = avg_span_product(
+        zorder_stamp(docs)
+        .repartitionByRange(n_files, "zval", "doc_id")
+        .sortWithinPartitions("zval", "doc_id")
+    )
     ingest = avg_span_product(
         zorder_stamp(docs).repartitionByRange(n_files, "doc_id")
     )
@@ -70,9 +74,19 @@ def test_zorder_rewrite_has_no_global_window(spark):
     assert wins  # the two dictionary ranks exist
     for w in wins:
         assert "zval" not in w, w
-        assert "lang" in w or "n_chars" in w, w
+        assert "_zlang" in w or "_zlen" in w, w
     assert "rangepartitioning" in plan.lower()
     assert "CartesianProduct" not in plan
+
+
+def test_zorder_rewrite_preserves_all_input_columns(spark):
+    """The rewrite is a physical OPTIMIZE: its output must be a
+    drop-in replacement for the input table — same columns (text and
+    all), clustered, no helper columns left behind (ADVICE r3)."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = zorder_rewrite(docs, 4)
+    assert set(out.columns) == set(docs.columns)
+    assert out.count() == docs.count()
 
 
 def test_zorder_rewrite_keeps_null_key_rows(spark):
