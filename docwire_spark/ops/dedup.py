@@ -463,35 +463,60 @@ _SIMHASH_SCHEMA = StructType(
 )
 
 
-def _simhash_batches(iterator):
-    import hashlib
-    import re
+def _simhash_batches_fn(n_bits: int):
+    """Arrow-batch kernel factory: n_bits of md5-derived simhash per
+    document.  60 is the oracle spec; 64 is the production width
+    (Manku WWW'07 fingerprints) — a 64-bit value with bit 63 set wraps
+    to a negative LongType, which is fine: the block join and
+    XOR-popcount verify are two's-complement-safe."""
+    n_hex = n_bits // 4
 
-    import numpy as np
-    import pandas as pd
+    def batches(iterator):
+        import hashlib
+        import re
 
-    token_re = re.compile(r"[a-z0-9]+")
-    bits = np.arange(60, dtype=np.uint64)
+        import numpy as np
+        import pandas as pd
 
-    def one(text: str) -> int:
-        toks = token_re.findall((text or "").lower())
-        if not toks:
-            return 0
-        hs = np.array(
-            [int(hashlib.md5(t.encode()).hexdigest()[:15], 16) for t in toks],
-            dtype=np.uint64,
-        )
-        votes = ((hs[:, None] >> bits) & 1).astype(np.int32)
-        score = (2 * votes - 1).sum(axis=0)
-        return int(((score > 0).astype(np.uint64) << bits).sum())
+        token_re = re.compile(r"[a-z0-9]+")
+        bits = np.arange(n_bits, dtype=np.uint64)
 
-    for pdf in iterator:
-        yield pd.DataFrame(
-            {
-                "doc_id": pdf["doc_id"],
-                "simhash": [one(t) for t in pdf["text"]],
-            }
-        )
+        def one(text: str) -> int:
+            toks = token_re.findall((text or "").lower())
+            if not toks:
+                return 0
+            hs = np.array(
+                [int(hashlib.md5(t.encode()).hexdigest()[:n_hex], 16)
+                 for t in toks],
+                dtype=np.uint64,
+            )
+            votes = ((hs[:, None] >> bits) & 1).astype(np.int32)
+            score = (2 * votes - 1).sum(axis=0)
+            v = int(((score > 0).astype(np.uint64) << bits).sum())
+            return v - MOD64 if v >= (1 << 63) else v
+
+        for pdf in iterator:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "simhash": [one(t) for t in pdf["text"]],
+                }
+            )
+
+    return batches
+
+
+_simhash_batches = _simhash_batches_fn(60)
+
+
+def simhash_table(docs: DataFrame, n_bits: int = 64) -> DataFrame:
+    """Production entry point: ``(doc_id, text)`` -> ``(doc_id,
+    simhash)`` at the requested width (default: the 64-bit Manku
+    fingerprint that pairs with simhash_pairs' production block
+    decomposition)."""
+    return docs.select("doc_id", "text").mapInPandas(
+        _simhash_batches_fn(n_bits), _SIMHASH_SCHEMA
+    )
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -521,36 +546,76 @@ FROM t
 # most 12 blocks, so at least one block is IDENTICAL -> equi-join on
 # (block_id, block_value) finds every true pair (recall is exactly
 # 1.0, so the brute-force oracle below remains byte-identical).  This
-# is the Manku/WWW'07 table decomposition; at production thresholds
-# (64-bit simhash, d <= 3 -> 4 x 16-bit blocks) the same plan prunes
-# candidates by ~2^16 per block instead of 2^4..2^5 here.
-_BLOCK_WIDTHS = [5] * 8 + [4] * 5
-_BLOCK_OFFS = [sum(_BLOCK_WIDTHS[:i]) for i in range(len(_BLOCK_WIDTHS))]
-N_BLOCKS = len(_BLOCK_WIDTHS)
+# is the Manku/WWW'07 table decomposition, PARAMETERIZED (round 4):
+# the reusable operator defaults to the production shape — 64-bit
+# simhash, 4 x 16-bit blocks, d <= 3 — where each (block, value)
+# bucket holds ~n/2^16 reps instead of the demo's ~n/2^4..2^5, i.e.
+# ~2^11 fewer candidates per bucket: the difference between a linear
+# and a quadratic candidate join at 10^12 documents.  The 60-bit
+# 13-block demo shape remains the oracle config (DuckDB replays the
+# 60-bit hash spec exactly).
 
-_BLOCKS_EXPR = "array(" + ",".join(
-    f"CAST((shiftright(simhash, {o}) & {(1 << w) - 1}) AS BIGINT)"
-    for o, w in zip(_BLOCK_OFFS, _BLOCK_WIDTHS)
-) + ")"
+#: production decomposition (Manku et al., WWW'07 "Detecting
+#: Near-Duplicates for Web Crawling": f = 64-bit fingerprints, k = 3)
+PROD_BLOCK_WIDTHS = (16, 16, 16, 16)
+PROD_HAMMING_THRESHOLD = 3
 
-#: first agreeing block, computed directly from xor(ha, hb) — a flat
-#: CASE chain of integer masks that whole-stage-codegen compiles,
-#: instead of an interpreted zip_with over carried block arrays
-_FIRST_BLOCK_XOR = "CASE " + " ".join(
-    f"WHEN ((a.simhash ^ b.simhash) & {((1 << w) - 1) << o}) = 0 THEN {i}"
-    for i, (o, w) in enumerate(zip(_BLOCK_OFFS, _BLOCK_WIDTHS))
-) + " END"
+#: demo/oracle decomposition over the 60-bit hash spec
+DEMO_BLOCK_WIDTHS = (5,) * 8 + (4,) * 5
+DEMO_HAMMING_THRESHOLD = HAMMING_THRESHOLD  # 12
 
 
-def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hamming-<=12 pairs via pigeonhole block equi-join, with the same
-    collapse-then-expand shape as dedup_minhash_lsh: docs sharing an
-    identical simhash form a group (intra pairs have hamming 0 by
-    definition), one rep per distinct simhash enters the block join,
-    and verified rep pairs expand back to member pairs.  Join rows
-    carry only (gid, simhash); pair dedup and the hamming verify are
-    pure int ops on xor(ha, hb) inside codegen."""
-    s = dedup_simhash(spark, sf_dir)
+def _block_exprs(widths) -> tuple[str, str]:
+    """(blocks_expr, first_block_xor_expr) for a block decomposition.
+
+    shiftrightunsigned keeps bit-63 blocks correct when a 64-bit
+    simhash lands in the sign bit of the LongType column."""
+    offs = [sum(widths[:i]) for i in range(len(widths))]
+    blocks = "array(" + ",".join(
+        f"CAST((shiftrightunsigned(simhash, {o}) & {(1 << w) - 1})"
+        " AS BIGINT)"
+        for o, w in zip(offs, widths)
+    ) + ")"
+    # first agreeing block, computed directly from xor(ha, hb) — a
+    # flat CASE chain of integer masks that whole-stage-codegen
+    # compiles, instead of an interpreted zip_with over block arrays
+    first = "CASE " + " ".join(
+        f"WHEN ((a.simhash ^ b.simhash) & {_signed64(((1 << w) - 1) << o)})"
+        f" = 0 THEN {i}"
+        for i, (o, w) in enumerate(zip(offs, widths))
+    ) + " END"
+    return blocks, first
+
+
+def _signed64(v: int) -> int:
+    """Two's-complement literal for a 64-bit mask (the top 16-bit
+    block's mask has bit 63 set, which overflows a BIGINT literal)."""
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def simhash_pairs(
+    s: DataFrame,
+    widths=PROD_BLOCK_WIDTHS,
+    hamming_threshold: int = PROD_HAMMING_THRESHOLD,
+) -> DataFrame:
+    """Hamming-<=d pairs over a ``(doc_id, simhash)`` frame via
+    pigeonhole block equi-join, with the same collapse-then-expand
+    shape as dedup_minhash_lsh: docs sharing an identical simhash form
+    a group (intra pairs have hamming 0 by definition), one rep per
+    distinct simhash enters the block join, and verified rep pairs
+    expand back to member pairs.  Join rows carry only (gid, simhash);
+    pair dedup and the hamming verify are pure int ops on xor(ha, hb)
+    inside codegen.
+
+    Pigeonhole validity requires len(widths) > hamming_threshold: a
+    pair at distance d differs in at most d blocks, so at least one of
+    the k > d blocks is identical — recall is exactly 1.0."""
+    if len(widths) <= hamming_threshold:
+        raise ValueError(
+            f"pigeonhole needs more blocks ({len(widths)}) than the "
+            f"hamming threshold ({hamming_threshold})"
+        )
+    blocks_expr, first_block_xor = _block_exprs(widths)
     groups = (
         s.groupBy("simhash")
         .agg(
@@ -563,7 +628,8 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     groups = persist_tracked(groups)
     n_groups = groups.count()
     bands = groups.select(
-        "gid", "simhash", F.posexplode(F.expr(_BLOCKS_EXPR)).alias("blk", "val")
+        "gid", "simhash",
+        F.posexplode(F.expr(blocks_expr)).alias("blk", "val"),
     )
     rep_pairs = (
         bands.alias("a")
@@ -573,7 +639,7 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.val") == F.col("b.val"))
             & (F.col("a.gid") < F.col("b.gid")),
         )
-        .filter(F.expr(_FIRST_BLOCK_XOR) == F.col("a.blk"))
+        .filter(F.expr(first_block_xor) == F.col("a.blk"))
         .select(
             F.col("a.gid").alias("ga"),
             F.col("b.gid").alias("gb"),
@@ -581,7 +647,7 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "CAST(bit_count(a.simhash ^ b.simhash) AS BIGINT)"
             ).alias("hamming"),
         )
-        .filter(F.col("hamming") <= HAMMING_THRESHOLD)
+        .filter(F.col("hamming") <= hamming_threshold)
     )
     mem = groups.select("gid", "members")
     cross = (
@@ -615,6 +681,17 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("hamming", F.lit(0).cast("bigint"))
     )
     return cross.unionByName(intra)
+
+
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query: the 60-bit demo decomposition over the oracle
+    hash spec (the production shape is simhash_pairs' default — see
+    PROD_BLOCK_WIDTHS)."""
+    return simhash_pairs(
+        dedup_simhash(spark, sf_dir),
+        widths=DEMO_BLOCK_WIDTHS,
+        hamming_threshold=DEMO_HAMMING_THRESHOLD,
+    )
 
 
 # the pigeonhole join is EXACT, so the oracle stays the brute-force
@@ -1068,7 +1145,8 @@ def _cc_small_star(edges: DataFrame) -> DataFrame:
     return relinked.unionByName(self_link).distinct()
 
 
-def _cc_converge(edges: DataFrame, spark: SparkSession) -> DataFrame:
+def _cc_converge(edges: DataFrame, spark: SparkSession,
+                 stats: dict | None = None) -> DataFrame:
     """Alternate large-star/small-star until the edge set is stable
     (O(log n) rounds).  Each round materializes via localCheckpoint —
     truncating the logical plan is what keeps an iterative DataFrame
@@ -1081,14 +1159,19 @@ def _cc_converge(edges: DataFrame, spark: SparkSession) -> DataFrame:
     # upstream pair pipeline twice
     edges = edges.localCheckpoint()
     prev = None
-    for _ in range(CC_MAX_ROUNDS):
+    max_edges = 0
+    for r in range(CC_MAX_ROUNDS):
         edges = _cc_small_star(_cc_large_star(edges)).localCheckpoint()
         row = edges.agg(
             F.count("*").alias("n"),
             F.bit_xor(F.xxhash64("u", "v")).alias("x"),
         ).first()
+        max_edges = max(max_edges, row["n"])
         sig = (row["n"], row["x"])
         if sig == prev:
+            if stats is not None:
+                stats["rounds"] = r + 1
+                stats["max_edges"] = max_edges
             return edges
         prev = sig
     raise RuntimeError(f"connected components: no fixpoint in "

@@ -461,8 +461,24 @@ def make_pages(text: str) -> bytes:
     return buf.getvalue()
 
 
+def make_fodt(text: str) -> bytes:
+    """Flat-ODF single-file XML with the office:mimetype attribute the
+    sniff refinement keys on (byte-identical to the Catalyst-built
+    template extract_fodt_roundtrip used through round 3)."""
+    return (
+        '<?xml version="1.0" encoding="UTF-8"?>'
+        '<office:document xmlns:office="urn:oasis:names:tc:'
+        'opendocument:xmlns:office:1.0" xmlns:text="urn:oasis:'
+        'names:tc:opendocument:xmlns:text:1.0"'
+        ' office:mimetype="application/vnd.oasis.opendocument'
+        '.text"><office:body><office:text><text:p>' + text +
+        "</text:p></office:text></office:body></office:document>"
+    ).encode()
+
+
 _BUILDERS = {
     "pdf": lambda did, text: make_pdf(text),
+    "fodt": lambda did, text: make_fodt(text),
     "docx": lambda did, text: make_docx(text),
     "rtf": lambda did, text: make_rtf(text),
     "eml": make_eml,
@@ -522,6 +538,147 @@ SELECT doc_id, '{mime}' AS mime,
        CAST(NULL AS VARCHAR) AS error
 FROM documents
 """
+
+
+# ---------------------------------------------------------------------------
+# grouped multi-format roundtrips (round 4): the driver's correctness
+# window is finite, so one query per PARSER FAMILY replaces one per
+# format — every document is synthesized in EVERY format of the group
+# (explode, not residue-split: full per-format byte-identity coverage
+# at the same total extraction work as the per-format queries) and the
+# oracle is the UNION ALL of the per-format expected-bytes SQL.
+# ---------------------------------------------------------------------------
+
+#: expected extracted-text tail per format (paragraph close /
+#: close_document rules — same constants the per-format oracles used)
+_FMT_TAIL = {
+    "pdf": "chr(10) || chr(10)",
+    "docx": "chr(10) || chr(10)",
+    "rtf": "chr(10) || chr(10)",
+    "eml": "chr(10)",
+    "zip": "chr(10) || chr(10)",
+    "pptx": "chr(10) || chr(10)",
+    "odt": "chr(10) || chr(10)",
+    "xls": "chr(10) || chr(10)",
+    "doc": "chr(10) || chr(10)",
+    "ppt": "chr(10) || chr(10)",
+    "fodt": "chr(10) || chr(10)",
+    "xlsb": "chr(10) || chr(10) || chr(10)",
+    "pages": "chr(10)",
+    "rar": "chr(10) || chr(10)",
+}
+
+FODT_MIME = "application/vnd.oasis.opendocument.text-flat-xml"
+
+_FMT_MIME = {
+    "pdf": "application/pdf",
+    "docx": DOCX_MIME,
+    "rtf": "application/rtf",
+    "eml": "message/rfc822",
+    "zip": "application/zip",
+    "xlsx": XLSX_MIME,
+    "pptx": PPTX_MIME,
+    "odt": ODT_MIME,
+    "xls": "application/vnd.ms-excel",
+    "doc": "application/msword",
+    "ppt": "application/vnd.ms-powerpoint",
+    "fodt": FODT_MIME,
+    "xlsb": XLSB_MIME,
+    "pages": PAGES_MIME,
+    "rar": RAR_MIME,
+}
+
+
+def _group_roundtrip(spark: SparkSession, sf_dir: str,
+                     fmts: tuple) -> DataFrame:
+    docs = load(spark, sf_dir, "documents", parallelize=True).select(
+        "doc_id", "text",
+        F.explode(F.array(*[F.lit(f) for f in fmts])).alias("fmt"),
+    )
+    pages = _synth_pages(docs, F.col("fmt"))
+    res = extract_pages(pages, n_shards=16)
+    return res.select(
+        F.regexp_extract("url", r"/(\d+)\.", 1).cast("bigint").alias("doc_id"),
+        F.regexp_extract("url", r"\.([a-z0-9]+)$", 1).alias("fmt"),
+        "mime",
+        "extracted_text",
+        "error",
+    )
+
+
+def _group_sql(fmts: tuple) -> str:
+    parts = []
+    for fmt in fmts:
+        if fmt == "xlsx":
+            # 2-cell grid render: A1 = text padded to col width + 2-space
+            # gutter, B1 = '7' padded to col width (plain_text_writer rules)
+            parts.append(f"""
+SELECT doc_id, 'xlsx' AS fmt, '{XLSX_MIME}' AS mime,
+       rpad(text, CAST(length(text) + 2 AS INT), ' ')
+         || rpad('7', CAST(length(text) AS INT), ' ')
+         || chr(10) || chr(10) AS extracted_text,
+       CAST(NULL AS VARCHAR) AS error
+FROM documents""")
+        else:
+            parts.append(f"""
+SELECT doc_id, '{fmt}' AS fmt, '{_FMT_MIME[fmt]}' AS mime,
+       text || {_FMT_TAIL[fmt]} AS extracted_text,
+       CAST(NULL AS VARCHAR) AS error
+FROM documents""")
+    return "\nUNION ALL\n".join(parts)
+
+
+#: parser-family groups (one grouped roundtrip query each):
+#: OOXML zip containers; ODF + iWork XML; CFB/BIFF legacy Office
+#: binaries (xlsb is BIFF12-in-zip — same record-reader family); the
+#: document-stream parsers (pdf/rtf/eml) plus the archive walkers
+GROUP_OOXML = ("docx", "xlsx", "pptx")
+GROUP_ODF_IWORK = ("odt", "fodt", "pages")
+GROUP_MS_BINARY = ("doc", "xls", "ppt", "xlsb")
+GROUP_DOCSTREAM = ("pdf", "rtf", "eml", "zip", "rar")
+
+
+def extract_ooxml_roundtrip(spark, sf_dir):
+    """OOXML family through the distributed path: every document as
+    docx AND xlsx AND pptx (ZIP container -> content-types dispatch ->
+    wordprocessing / sharedStrings+grid / slide spTree renders —
+    kernel/docx_extract.py, xlsx_extract.py; reference
+    src/odf_ooxml_parser.cpp)."""
+    return _group_roundtrip(spark, sf_dir, GROUP_OOXML)
+
+
+def extract_odf_iwork_roundtrip(spark, sf_dir):
+    """ODF + iWork family: odt (mimetype member sniff), flat-ODF
+    (office:mimetype XML refinement), Pages bundle (index.xml
+    <sl:document> zip-member sniff) — kernel/odf_extract.py,
+    iwork_extract.py; reference src/odf_ooxml_parser.cpp +
+    content_type_odf_flat.cpp + content_type_iwork.cpp."""
+    return _group_roundtrip(spark, sf_dir, GROUP_ODF_IWORK)
+
+
+def extract_ms_binary_roundtrip(spark, sf_dir):
+    """Legacy Office binaries: CFB container walk (doc FIB+piece
+    table, xls BIFF8, ppt record tree) + xlsb BIFF12 varint records —
+    kernel/cfb.py, doc_extract.py, xls_extract.py, ppt_extract.py,
+    xlsb_extract.py; reference src/doc_parser.cpp (wv2),
+    xls_parser.cpp, ppt_parser.cpp, xlsb_parser.cpp."""
+    return _group_roundtrip(spark, sf_dir, GROUP_MS_BINARY)
+
+
+def extract_docstream_roundtrip(spark, sf_dir):
+    """Document-stream parsers + archive walkers: pdf (content-stream
+    engine), rtf (control-word machine), eml (MIME walk), zip central
+    directory, rar5 block walk — kernel/pdfminer_lite.py,
+    rtf_extract.py, eml_extract.py, archive_extract.py, rar5.py;
+    reference src/pdf_parser.cpp, rtf_parser.cpp, eml_parser.cpp,
+    archives_parser.cpp."""
+    return _group_roundtrip(spark, sf_dir, GROUP_DOCSTREAM)
+
+
+EXTRACT_OOXML_SQL = _group_sql(GROUP_OOXML)
+EXTRACT_ODF_IWORK_SQL = _group_sql(GROUP_ODF_IWORK)
+EXTRACT_MS_BINARY_SQL = _group_sql(GROUP_MS_BINARY)
+EXTRACT_DOCSTREAM_SQL = _group_sql(GROUP_DOCSTREAM)
 
 
 def extract_pdf_roundtrip(spark, sf_dir):
@@ -883,42 +1040,55 @@ FROM d
 """
 
 
+def extract_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markup + binary dispatch corpora through the ONE pipeline,
+    unioned: the full detector cascade (extension map, magic bytes,
+    HTML sniff, ZIP-member sniff) routes html/txt/xml AND
+    pdf/docx/rtf/eml/zip payloads, counted per (corpus, mime)."""
+    from docwire_spark.ops.extraction import extract_format_dispatch
+
+    a = extract_format_dispatch(spark, sf_dir).withColumn(
+        "corpus", F.lit("markup")
+    )
+    b = extract_binary_dispatch(spark, sf_dir).withColumn(
+        "corpus", F.lit("binary")
+    )
+    return a.unionByName(b).select(
+        "corpus", "mime", "n_docs", "total_chars", "n_failed"
+    )
+
+
+def _dispatch_union_sql() -> str:
+    from docwire_spark.ops.extraction import EXTRACT_FORMAT_DISPATCH_SQL
+
+    return f"""
+SELECT 'markup' AS corpus, * FROM ({EXTRACT_FORMAT_DISPATCH_SQL})
+UNION ALL
+SELECT 'binary' AS corpus, * FROM ({EXTRACT_BINARY_DISPATCH_SQL})
+"""
+
+
+# round 4: the 15 per-format roundtrip queries consolidated into 4
+# parser-family groups so the whole registry fits the driver's
+# correctness window (VERDICT r3 #1).  The per-format builders and
+# `_roundtrip` remain the unit-test surface (tests/
+# test_binary_roundtrip.py runs each format individually).
 QUERIES = {
+    "extract_dispatch": extract_dispatch,
     "extract_tree": extract_tree_rows,
-    "extract_pdf_roundtrip": extract_pdf_roundtrip,
-    "extract_docx_roundtrip": extract_docx_roundtrip,
-    "extract_rtf_roundtrip": extract_rtf_roundtrip,
-    "extract_eml_roundtrip": extract_eml_roundtrip,
-    "extract_archive_roundtrip": extract_archive_roundtrip,
-    "extract_xlsx_roundtrip": extract_xlsx_roundtrip,
-    "extract_pptx_roundtrip": extract_pptx_roundtrip,
-    "extract_odt_roundtrip": extract_odt_roundtrip,
-    "extract_xls_roundtrip": extract_xls_roundtrip,
-    "extract_doc_roundtrip": extract_doc_roundtrip,
-    "extract_ppt_roundtrip": extract_ppt_roundtrip,
-    "extract_fodt_roundtrip": extract_fodt_roundtrip,
-    "extract_xlsb_roundtrip": extract_xlsb_roundtrip,
-    "extract_rar_roundtrip": extract_rar_roundtrip,
-    "extract_iwork_roundtrip": extract_iwork_roundtrip,
+    "extract_ooxml_roundtrip": extract_ooxml_roundtrip,
+    "extract_odf_iwork_roundtrip": extract_odf_iwork_roundtrip,
+    "extract_ms_binary_roundtrip": extract_ms_binary_roundtrip,
+    "extract_docstream_roundtrip": extract_docstream_roundtrip,
     "extract_binary_dispatch": extract_binary_dispatch,
 }
 
 ORACLES = {
+    "extract_dispatch": _dispatch_union_sql(),
     "extract_tree": EXTRACT_TREE_SQL,
-    "extract_pdf_roundtrip": EXTRACT_PDF_SQL,
-    "extract_docx_roundtrip": EXTRACT_DOCX_SQL,
-    "extract_rtf_roundtrip": EXTRACT_RTF_SQL,
-    "extract_eml_roundtrip": EXTRACT_EML_SQL,
-    "extract_archive_roundtrip": EXTRACT_ZIP_SQL,
-    "extract_xlsx_roundtrip": EXTRACT_XLSX_SQL,
-    "extract_pptx_roundtrip": EXTRACT_PPTX_SQL,
-    "extract_odt_roundtrip": EXTRACT_ODT_SQL,
-    "extract_xls_roundtrip": EXTRACT_XLS_SQL,
-    "extract_doc_roundtrip": EXTRACT_DOC_SQL,
-    "extract_ppt_roundtrip": EXTRACT_PPT_SQL,
-    "extract_fodt_roundtrip": EXTRACT_FODT_SQL,
-    "extract_xlsb_roundtrip": EXTRACT_XLSB_SQL,
-    "extract_rar_roundtrip": EXTRACT_RAR_SQL,
-    "extract_iwork_roundtrip": EXTRACT_PAGES_SQL,
+    "extract_ooxml_roundtrip": EXTRACT_OOXML_SQL,
+    "extract_odf_iwork_roundtrip": EXTRACT_ODF_IWORK_SQL,
+    "extract_ms_binary_roundtrip": EXTRACT_MS_BINARY_SQL,
+    "extract_docstream_roundtrip": EXTRACT_DOCSTREAM_SQL,
     "extract_binary_dispatch": EXTRACT_BINARY_DISPATCH_SQL,
 }

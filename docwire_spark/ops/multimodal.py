@@ -114,11 +114,17 @@ def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(_blob_batches, BLOB_SCHEMA)
 
 
+def parse_media_meta(media: DataFrame) -> DataFrame:
+    """The parse stage alone: (doc_id, blob BINARY) -> typed header
+    metadata.  Split out so harnesses can time header parsing over a
+    persisted media table separately from fixture construction
+    (VERDICT r3 #4 — the combined number hid parse regressions)."""
+    return media.mapInPandas(_media_batches, META_SCHEMA)
+
+
 def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary blob column -> parsed container metadata, Arrow-batched."""
-    return media_table(spark, sf_dir).mapInPandas(
-        _media_batches, META_SCHEMA
-    )
+    return parse_media_meta(media_table(spark, sf_dir))
 
 
 # header sizes the builders emit (verified by tests); the oracle uses

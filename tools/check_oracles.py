@@ -2,22 +2,88 @@
 and its oracle_sql() on DuckDB over the same sf dir; compare row count,
 column names/order-insensitive value hash.
 
+Also records a per-query PHYSICAL-PLAN fingerprint (VERDICT r3 #5):
+a normalized hash of explainString('simple') plus counts of the
+operators that signal a scale regression (Exchange, CartesianProduct,
+Python eval, SortMergeJoin, Window).  Fingerprints are written to
+PLANS.json at the repo root and diffed against the committed baseline
+— so a silent plan regression (a new shuffle, a join that stopped
+broadcasting) is caught even when the ANSWER stays right.
+
 Usage: python tools/check_oracles.py [sf_dir] [query ...]
 """
 
 from __future__ import annotations
 
 import hashlib
+import json
 import os
+import re
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
 
 TABLES = (
     "region nation customer supplier part orders lineitem events "
     "documents embeddings"
 ).split()
+
+#: physical operators whose appearance/count changing is the signature
+#: of a scale regression, answer unchanged
+_PLAN_OPS = (
+    "Exchange", "CartesianProduct", "BroadcastNestedLoopJoin",
+    "SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+    "BatchEvalPython", "ArrowEvalPython", "MapInPandas", "Window",
+    "Sort", "HashAggregate", "ObjectHashAggregate", "SortAggregate",
+)
+
+PLANS_PATH = os.path.join(_REPO, "PLANS.json")
+
+
+def plan_fingerprint(df) -> dict:
+    """Normalized plan hash + operator counts for one query plan."""
+    jvm = df.sparkSession._jvm
+    s = jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "simple"
+    )
+    # strip volatile tokens: expression ids (#123L), plan ids, temp
+    # paths, statistics sizes
+    norm = re.sub(r"#\d+L?", "#", s)
+    norm = re.sub(r"plan_id=\d+", "plan_id=", norm)
+    norm = re.sub(r"/[^\s,)\]]*(?:/[^\s,)\]]*)+", "/PATH", norm)
+    norm = re.sub(r"\d+\.\d+ [KMG]i?B", "SIZE", norm)
+    ops = {}
+    for op in _PLAN_OPS:
+        n = len(re.findall(rf"\b{op}\b", s))
+        if n:
+            ops[op] = n
+    return {
+        "hash": hashlib.sha256(norm.encode()).hexdigest()[:16],
+        "ops": ops,
+    }
+
+
+def diff_plans(prev: dict, cur: dict) -> list[str]:
+    """Human-readable regression notes comparing two fingerprint maps."""
+    notes = []
+    for name, fp in sorted(cur.items()):
+        old = prev.get(name)
+        if old is None:
+            notes.append(f"NEW   {name}: ops={fp['ops']}")
+            continue
+        if old["ops"] != fp["ops"]:
+            keys = sorted(set(old["ops"]) | set(fp["ops"]))
+            delta = {
+                k: (old["ops"].get(k, 0), fp["ops"].get(k, 0))
+                for k in keys
+                if old["ops"].get(k, 0) != fp["ops"].get(k, 0)
+            }
+            notes.append(f"OPS   {name}: {delta}")
+        elif old["hash"] != fp["hash"]:
+            notes.append(f"SHAPE {name}: plan hash changed, op counts same")
+    return notes
 
 
 def norm_cell(v):
@@ -66,6 +132,7 @@ def main():
 
     qs, os_ = ENTRY.queries(), ENTRY.oracle_sql()
     failed = []
+    plans: dict[str, dict] = {}
     from docwire_spark.ops.common import release_persisted
 
     for name, fn in qs.items():
@@ -75,6 +142,7 @@ def main():
         t0 = time.time()
         try:
             df = fn(spark, sf_dir)
+            plans[name] = plan_fingerprint(df)
             cols = df.columns
             rows = [tuple(r) for r in df.collect()]
         except Exception as e:
@@ -117,6 +185,24 @@ def main():
         else:
             print(f"PASS {name} ({dt:.1f}s): rows={len(rows)}")
     spark.stop()
+    # plan-fingerprint artifact + drift report vs the committed baseline
+    prev = {}
+    if os.path.exists(PLANS_PATH):
+        with open(PLANS_PATH) as f:
+            prev = json.load(f)
+    notes = diff_plans({k: v for k, v in prev.items() if k in plans},
+                       plans)
+    for n in notes:
+        print("PLAN-DIFF", n)
+    if not only:  # full runs rewrite the baseline; partial runs merge
+        merged = plans
+    else:
+        merged = dict(prev)
+        merged.update(plans)
+    with open(PLANS_PATH, "w") as f:
+        json.dump(merged, f, indent=1, sort_keys=True)
+    print(f"plan fingerprints: {len(plans)} recorded -> {PLANS_PATH}"
+          f" ({len(notes)} drift notes)")
     if failed:
         print("FAILED:", ", ".join(failed))
         sys.exit(1)
