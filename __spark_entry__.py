@@ -99,10 +99,14 @@ PRIORITY_WINDOW = [
     # one representative per already-green family (6)
     "inverted_index", "kmeans_embeddings", "host_stats", "pii_redact",
     "text_fingerprint_repetition", "stream_dedup_native",
-    # consolidated extraction suite (11)
-    "extract_dispatch", "extract_plain", "extract_spans",
-    "extract_main_content", "extract_rich_table", "extract_exports",
-    "extract_tree", "extract_ooxml_roundtrip",
+    # model-based curation, new round 4 (2)
+    "lm_perplexity", "dsir_select",
+    # consolidated extraction suite (9; extract_plain/extract_spans
+    # follow after the window — their HTML kernel is driver-covered by
+    # extract_main_content/rich_table/exports/dispatch, and both had
+    # green driver rows in r1-r3)
+    "extract_dispatch", "extract_main_content", "extract_rich_table",
+    "extract_exports", "extract_tree", "extract_ooxml_roundtrip",
     "extract_odf_iwork_roundtrip", "extract_ms_binary_roundtrip",
     "extract_docstream_roundtrip",
 ]
@@ -111,14 +115,15 @@ PRIORITY_WINDOW = [
 def _collect():
     from docwire_spark.ops import (
         bloom, chunking, classify, cluster, cms, corpus_filter, dedup, diff,
-        extraction, extraction_binary, graph, hll, index, multimodal, packing,
-        relational, similarity, stream_extract, textstats, web, zorder,
+        extraction, extraction_binary, graph, hll, index, lm_filter,
+        multimodal, packing, relational, similarity, stream_extract,
+        textstats, web, zorder,
     )
 
     modules = (extraction, extraction_binary, stream_extract, textstats,
-               corpus_filter, index, cluster, web, graph, packing, diff, dedup,
-               similarity, multimodal, relational, bloom, classify, hll,
-               zorder, cms, chunking)
+               corpus_filter, lm_filter, index, cluster, web, graph, packing,
+               diff, dedup, similarity, multimodal, relational, bloom,
+               classify, hll, zorder, cms, chunking)
     all_q: dict[str, Callable] = {}
     all_o: dict[str, str] = {}
     for m in modules:

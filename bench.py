@@ -44,6 +44,8 @@ HEADLINE = [
     "text_normalize",
     "text_length_percentiles",
     "corpus_quality_filter",
+    "lm_perplexity",
+    "dsir_select",
     "bm25_search",
     "sample_stratified",
     "decontaminate",
