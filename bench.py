@@ -43,6 +43,7 @@ HEADLINE = [
     "text_ngram_topk",
     "text_normalize",
     "text_length_percentiles",
+    "c4_line_filter",
     "corpus_quality_filter",
     "lm_perplexity",
     "dsir_select",

@@ -454,6 +454,173 @@ FROM f
 
 
 # ---------------------------------------------------------------------------
+# C4-style line-level cleanup (Raffel et al., "Exploring the Limits of
+# Transfer Learning with a Unified Text-to-Text Transformer", JMLR
+# 2020, section 2.2): per LINE — require terminal punctuation, >= 5
+# words, drop boilerplate lines, dedup repeated lines within the
+# document (first occurrence wins); per DOC — keep iff >= 3 lines
+# survive.  Distinct from text_normalize (char-level) and
+# dedup_chunk_* (cross-corpus span dedup): this is the in-document
+# structural cleanup every crawl pipeline runs first.
+#
+# One map-side codegen pass, zero shuffle: the whole rule set runs
+# over an in-row line array.  The first-occurrence dedup is
+# O(lines^2) IN-ROW (array_position per line) — lines per document
+# are bounded (~100s), unlike tokens, so the quadratic term is
+# constant-bounded and the shuffle-free map pass wins at any corpus
+# size (same trade as common.max_multiplicity_expr, inverted).
+#
+# The synthetic corpus is a flat token stream, so line structure is
+# injected deterministically (the text_normalize precedent): tokens
+# chunk into 6-token lines; every 3rd line loses its terminal '.',
+# every 5th is replaced by a boilerplate sentence, and a copy of line
+# 1 is appended — every rule fires on real positives in BOTH engines.
+# ---------------------------------------------------------------------------
+
+C4_MIN_WORDS = 5
+C4_MIN_LINES = 3
+_C4_BOILER = "please enable javascript and cookies to continue"
+
+#: lines array from the bound token array ``ts`` (Spark dialect)
+_C4_LINES_EXPR = (
+    "CASE WHEN size(ts) = 0 THEN array() ELSE "
+    "element_at(transform(array("
+    "  transform(sequence(1, CAST(ceil(size(ts) / 6.0) AS INT)), i ->"
+    "    CASE WHEN i % 3 != 0 THEN concat("
+    f"      CASE WHEN i % 5 = 0 THEN '{_C4_BOILER}'"
+    "            ELSE array_join(slice(ts, (i - 1) * 6 + 1, 6), ' ') END,"
+    "      '.')"
+    f"    ELSE CASE WHEN i % 5 = 0 THEN '{_C4_BOILER}'"
+    "          ELSE array_join(slice(ts, (i - 1) * 6 + 1, 6), ' ') END"
+    "    END)"
+    "), base -> concat(base, slice(base, 1, 1))), 1) END"
+)
+
+#: same lines array in DuckDB (ls bound in a CTE there, so no lambda)
+_C4_LINES_SQL = (
+    "CASE WHEN len(tokens) = 0 THEN [] ELSE "
+    "list_concat(l0, l0[1:1]) END"
+)
+_C4_L0_SQL = (
+    "list_transform(generate_series(1,"
+    " CAST(ceil(len(tokens) / 6.0) AS INT)), i ->"
+    " CASE WHEN i % 3 != 0 THEN"
+    f"   (CASE WHEN i % 5 = 0 THEN '{_C4_BOILER}'"
+    "     ELSE array_to_string(tokens[((i - 1) * 6 + 1):(i * 6)], ' ')"
+    "     END) || '.'"
+    f"  ELSE CASE WHEN i % 5 = 0 THEN '{_C4_BOILER}'"
+    "    ELSE array_to_string(tokens[((i - 1) * 6 + 1):(i * 6)], ' ')"
+    "    END"
+    " END)"
+)
+
+
+def _c4_struct_body() -> str:
+    """named_struct body over the bound lines array ``ls`` — the
+    priority-ordered per-line classification (punct > short > boiler >
+    dup > keep) and the surviving text, identical text both engines
+    except the struct/array constructors handled by callers."""
+    # the _BIGRAMS_EXPR lesson: Spark's sequence(1, 0) is a DESCENDING
+    # [1, 0], not empty — unguarded, element_at(ls, 1) throws on
+    # zero-line documents under ANSI
+    idx = ("CASE WHEN size(ls) = 0 THEN CAST(array() AS ARRAY<INT>)"
+           " ELSE sequence(1, size(ls)) END")
+    line = "element_at(ls, i)"
+    has_punct = f"endswith({line}, '.')"
+    n_words = f"size(split({line}, ' '))"
+    is_boiler = f"contains({line}, 'javascript')"
+    first_pos = f"array_position(ls, {line})"
+    return (
+        "named_struct("
+        " 'n_lines', CAST(size(ls) AS BIGINT),"
+        f" 'n_punct_dropped', CAST(size(filter({idx},"
+        f"   i -> NOT {has_punct})) AS BIGINT),"
+        f" 'n_short_dropped', CAST(size(filter({idx},"
+        f"   i -> {has_punct} AND {n_words} < {C4_MIN_WORDS}))"
+        "   AS BIGINT),"
+        f" 'n_boiler_dropped', CAST(size(filter({idx},"
+        f"   i -> {has_punct} AND {n_words} >= {C4_MIN_WORDS}"
+        f"   AND {is_boiler})) AS BIGINT),"
+        f" 'n_dup_dropped', CAST(size(filter({idx},"
+        f"   i -> {has_punct} AND {n_words} >= {C4_MIN_WORDS}"
+        f"   AND NOT {is_boiler} AND {first_pos} != i)) AS BIGINT),"
+        f" 'clean_text', array_join(transform(filter({idx},"
+        f"   i -> {has_punct} AND {n_words} >= {C4_MIN_WORDS}"
+        f"   AND NOT {is_boiler} AND {first_pos} = i),"
+        f"   i -> {line}), char(10)))"
+    )
+
+
+def c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents", parallelize=True)
+    body = _c4_struct_body()
+    lines_bound = let_expr(TOKENS_EXPR, "ts", _C4_LINES_EXPR)
+    s = F.expr(let_expr(lines_bound, "ls", body))
+    out = docs.select("doc_id", s.alias("s")).select("doc_id", "s.*")
+    n_kept = (
+        F.col("n_lines") - F.col("n_punct_dropped")
+        - F.col("n_short_dropped") - F.col("n_boiler_dropped")
+        - F.col("n_dup_dropped")
+    )
+    return out.withColumn("n_kept", n_kept.cast("bigint")).withColumn(
+        "keep_doc", (n_kept >= C4_MIN_LINES).cast("int")
+    )
+
+
+def _c4_sql_body() -> str:
+    """The same classification in DuckDB list dialect over column
+    ``ls`` (lists are 1-based in both engines)."""
+    idx = "generate_series(1, len(ls))"
+    line = "ls[i]"
+    has_punct = f"ends_with({line}, '.')"
+    n_words = f"len(string_split({line}, ' '))"
+    is_boiler = f"contains({line}, 'javascript')"
+    first_pos = f"list_position(ls, {line})"
+    keep = (
+        f"{has_punct} AND {n_words} >= {C4_MIN_WORDS}"
+        f" AND NOT {is_boiler} AND {first_pos} = i"
+    )
+    return f"""
+SELECT doc_id,
+  CAST(len(ls) AS BIGINT) AS n_lines,
+  CAST(len(list_filter({idx}, i -> NOT {has_punct})) AS BIGINT)
+    AS n_punct_dropped,
+  CAST(len(list_filter({idx}, i -> {has_punct}
+       AND {n_words} < {C4_MIN_WORDS})) AS BIGINT) AS n_short_dropped,
+  CAST(len(list_filter({idx}, i -> {has_punct}
+       AND {n_words} >= {C4_MIN_WORDS} AND {is_boiler})) AS BIGINT)
+    AS n_boiler_dropped,
+  CAST(len(list_filter({idx}, i -> {has_punct}
+       AND {n_words} >= {C4_MIN_WORDS} AND NOT {is_boiler}
+       AND {first_pos} != i)) AS BIGINT) AS n_dup_dropped,
+  array_to_string(list_transform(list_filter({idx}, i -> {keep}),
+                                 i -> {line}), chr(10)) AS clean_text
+FROM l
+"""
+
+
+C4_LINE_FILTER_SQL = f"""
+WITH t AS (
+  SELECT doc_id, {TOKENS_SQL} AS tokens FROM documents
+), lb AS (
+  SELECT doc_id, tokens, {_C4_L0_SQL} AS l0 FROM t
+), l AS (
+  SELECT doc_id, {_C4_LINES_SQL} AS ls FROM lb
+), c AS ({_c4_sql_body()})
+SELECT doc_id, n_lines, n_punct_dropped, n_short_dropped,
+       n_boiler_dropped, n_dup_dropped,
+       clean_text,
+       CAST(n_lines - n_punct_dropped - n_short_dropped
+            - n_boiler_dropped - n_dup_dropped AS BIGINT) AS n_kept,
+       CAST(CASE WHEN n_lines - n_punct_dropped - n_short_dropped
+                      - n_boiler_dropped - n_dup_dropped
+                      >= {C4_MIN_LINES}
+            THEN 1 ELSE 0 END AS INT) AS keep_doc
+FROM c
+"""
+
+
+# ---------------------------------------------------------------------------
 # corpus length percentiles (monitoring table)
 # ---------------------------------------------------------------------------
 
@@ -503,6 +670,7 @@ QUERIES = {
     "text_repetition": repetition,
     "text_ngram_topk": ngram_topk,
     "text_normalize": text_normalize,
+    "c4_line_filter": c4_line_filter,
     "text_length_percentiles": length_percentiles,
 }
 
@@ -515,5 +683,6 @@ ORACLES = {
     "text_repetition": REPETITION_SQL,
     "text_ngram_topk": NGRAM_TOPK_SQL,
     "text_normalize": TEXT_NORMALIZE_SQL,
+    "c4_line_filter": C4_LINE_FILTER_SQL,
     "text_length_percentiles": LENGTH_PERCENTILES_SQL,
 }
