@@ -123,20 +123,30 @@ _LANG_STOPS = {
 }
 
 
-def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = with_tokens(load(spark, sf_dir, "documents", parallelize=True))
+def lang_pred_col() -> "F.Column":
+    """The stopword-vote language prediction as a reusable Column over
+    a ``tokens`` array column (jobs/pipeline_job.py stamps stage
+    tables with it before the CCNet-style LM phase)."""
     hits = {
         lang: F.expr(f"size(filter(tokens, t -> t IN ({stops})))")
         for lang, stops in _LANG_STOPS.items()
     }
     en, de, fr, es = hits["en"], hits["de"], hits["fr"], hits["es"]
-    pred = (
+    return (
         F.when(F.greatest(en, de, fr, es) == 0, F.lit("unknown"))
         .when((en >= de) & (en >= fr) & (en >= es), F.lit("en"))
         .when((de >= fr) & (de >= es), F.lit("de"))
         .when(fr >= es, F.lit("fr"))
         .otherwise(F.lit("es"))
     )
+
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = with_tokens(load(spark, sf_dir, "documents", parallelize=True))
+    en = F.expr(
+        f"size(filter(tokens, t -> t IN ({_LANG_STOPS['en']})))"
+    )
+    pred = lang_pred_col()
     return docs.select(
         "doc_id",
         pred.alias("lang_pred"),

@@ -3,8 +3,9 @@
     spark-submit --master local[8] --py-files dist/docwire_spark.zip \
         jobs/pipeline_job.py --n-docs 20000 --out /tmp/pipeline
 
-    extract -> quality filter -> PII redaction -> exact dedup
-    -> near-dup cluster dedup -> checkpointed final corpus write
+    extract -> quality filter -> LM perplexity tail-drop (CCNet)
+    -> PII redaction -> exact dedup -> near-dup cluster dedup
+    -> checkpointed final corpus write
 
 Each phase materializes a stage directory (``stage1_extracted/``,
 ``stage2_quality/``, ...) holding a ``documents.parquet`` in the
@@ -63,12 +64,16 @@ def run_pipeline(spark, pages, out_dir: str, n_shards: int = 64,
 
     st1 = os.path.join(out_dir, "stage1_extracted")
     st2 = os.path.join(out_dir, "stage2_quality")
+    st2lm = os.path.join(out_dir, "stage2lm_ppl")
     st2b = os.path.join(out_dir, "stage2b_redacted")
     st3 = os.path.join(out_dir, "stage3_exact")
     final = os.path.join(out_dir, "final")
 
     # -- phase 1: extraction ---------------------------------------------
     def p1():
+        from docwire_spark.ops.common import TOKENS_EXPR
+        from docwire_spark.ops.textstats import lang_pred_col
+
         ex = extract_pages(pages.select("url", "html"), n_shards=n_shards)
         docs = ex.filter(F.col("error").isNull()).select(
             # url-hash doc ids: deterministic, cluster-stable; keep-min
@@ -78,7 +83,12 @@ def run_pipeline(spark, pages, out_dir: str, n_shards: int = 64,
             F.col("extracted_text").alias("text"),
             F.parse_url(F.col("url"), F.lit("HOST")).alias("source"),
             F.length("extracted_text").cast("bigint").alias("n_chars"),
-        )
+        ).withColumn(
+            # stopword-vote lang id stamped at extraction time: the
+            # LM phase buckets per language (CCNet order: lang-id
+            # before perplexity)
+            "tokens", F.expr(TOKENS_EXPR)
+        ).withColumn("lang", lang_pred_col()).drop("tokens")
         _write_stage(docs, st1)
         return spark.read.parquet(os.path.join(st1, "documents.parquet")).count()
 
@@ -98,11 +108,28 @@ def run_pipeline(spark, pages, out_dir: str, n_shards: int = 64,
         _write_stage(docs.join(keep, "doc_id", "left_semi"), st2)
         return spark.read.parquet(os.path.join(st2, "documents.parquet")).count()
 
+    # -- phase 2lm: CCNet LM perplexity tail-drop --------------------------
+    def p2lm():
+        from docwire_spark.ops.lm_filter import lm_perplexity
+
+        ppl = lm_perplexity(spark, st2)
+        keep = ppl.filter(F.col("bucket") != "tail").select("doc_id")
+        docs = spark.read.parquet(os.path.join(st2, "documents.parquet"))
+        _write_stage(docs.join(keep, "doc_id", "left_semi"), st2lm)
+        summary["ppl_buckets"] = {
+            r["bucket"]: r["n"]
+            for r in ppl.groupBy("bucket").agg(F.count("*").alias("n"))
+            .collect()
+        }
+        return spark.read.parquet(
+            os.path.join(st2lm, "documents.parquet")
+        ).count()
+
     # -- phase 2b: PII redaction (map-side transform, drops nothing) ------
     def p2b():
         from docwire_spark.ops.corpus_filter import redact_pii_column
 
-        docs = spark.read.parquet(os.path.join(st2, "documents.parquet"))
+        docs = spark.read.parquet(os.path.join(st2lm, "documents.parquet"))
         _write_stage(redact_pii_column(docs, "text"), st2b)
         out = spark.read.parquet(os.path.join(st2b, "documents.parquet"))
         summary["pii_matches"] = {
@@ -143,6 +170,7 @@ def run_pipeline(spark, pages, out_dir: str, n_shards: int = 64,
 
     _phase("extract", p1)
     _phase("quality_filter", p2)
+    _phase("lm_tail_drop", p2lm)
     _phase("pii_redact", p2b)
     _phase("dedup_exact", p3)
     _phase("dedup_near_dup", p4)

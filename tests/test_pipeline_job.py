@@ -1,6 +1,7 @@
-"""End-to-end test of the four-phase training-data pipeline job
-(jobs/pipeline_job.py): extract -> quality filter -> exact dedup ->
-near-dup cluster dedup -> checkpointed final write.
+"""End-to-end test of the training-data pipeline job
+(jobs/pipeline_job.py): extract -> quality filter -> LM perplexity
+tail-drop -> PII redaction -> exact dedup -> near-dup cluster dedup
+-> checkpointed final write.
 
 Covers the composition hazards the per-op oracles cannot see — e.g.
 the Catalyst alias-substitution blowup (common.let_expr) only
@@ -33,14 +34,18 @@ def pipeline_summary(spark, tmp_path_factory):
 def test_phase_counts_monotone_and_nondegenerate(pipeline_summary):
     summary, _ = pipeline_summary
     counts = [p["docs"] for p in summary["phases"].values()]
-    assert len(counts) == 5
+    assert len(counts) == 6
     assert counts[0] == 400
     assert counts == sorted(counts, reverse=True)
     # each boundary must be non-degenerate: something survives to the
     # end, and the near-dup phase actually drops documents (the
     # synthetic corpus contains template near-dup cliques)
     assert counts[-1] > 0
-    assert counts[4] < counts[3]
+    assert counts[5] < counts[4]
+    # the LM phase must have dropped a real tail (CCNet terciles on
+    # the ~10% sample put roughly a third of sampled mass below t2)
+    assert summary["ppl_buckets"].get("tail", 0) > 0
+    assert counts[2] < counts[1]
 
 
 def test_final_corpus_readable_and_committed(pipeline_summary, spark):
@@ -67,6 +72,7 @@ def test_stage_checkpoints_resumable(pipeline_summary, spark):
     for stage, key in (
         ("stage1_extracted", "extract"),
         ("stage2_quality", "quality_filter"),
+        ("stage2lm_ppl", "lm_tail_drop"),
         ("stage2b_redacted", "pii_redact"),
         ("stage3_exact", "dedup_exact"),
     ):
