@@ -81,6 +81,7 @@ HEADLINE = [
     "similarity_ann_lsh",
     "similarity_ann_ivf",
     "kmeans_embeddings",
+    "semdedup",
     # multimodal plumbing
     "multimodal_meta",
     "multimodal_frames",

@@ -72,10 +72,8 @@ def _recompute(assigned: DataFrame) -> list[tuple[int, list[float]]]:
     )
 
 
-def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two Lloyd iterations from deterministic seeds (vec_id < K);
-    returns integer per-cluster statistics."""
-    vecs = (
+def _load_vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
         load(spark, sf_dir, "embeddings", parallelize=True)
         .select(
             "vec_id",
@@ -83,6 +81,11 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("emb"),
         )
     )
+
+
+def _lloyd_assign(vecs: DataFrame) -> DataFrame:
+    """ITERS Lloyd iterations from deterministic seeds (vec_id < K);
+    returns the final per-point assignment (vec_id, emb, cluster)."""
     seeds = (
         vecs.filter(F.col("vec_id") < K)
         .orderBy("vec_id")
@@ -93,6 +96,13 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     for _ in range(ITERS):
         assigned = _assign(vecs, cents)
         cents = _recompute(assigned)
+    return assigned
+
+
+def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two Lloyd iterations from deterministic seeds (vec_id < K);
+    returns integer per-cluster statistics."""
+    assigned = _lloyd_assign(_load_vecs(spark, sf_dir))
     return (
         assigned.groupBy(F.col("cluster").cast("int").alias("cluster_id"))
         .agg(
@@ -113,8 +123,10 @@ def _dist_sql(emb: str, cvec: str) -> str:
     )
 
 
-KMEANS_SQL = f"""
-WITH v AS (
+#: the shared Lloyd CTE chain (v -> c0 -> d1 -> a1 -> m1 -> c1 -> d2
+#: -> a2); both KMEANS_SQL and SEMDEDUP_SQL replay the same two
+#: iterations
+_LLOYD_CTES = f"""v AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
   FROM embeddings
 ), c0 AS (
@@ -143,7 +155,10 @@ WITH v AS (
            row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
     FROM d2
   ) WHERE rn = 1
-)
+)"""
+
+KMEANS_SQL = f"""
+WITH {_LLOYD_CTES}
 SELECT CAST(cluster AS INTEGER) AS cluster_id,
        CAST(count(*) AS BIGINT) AS n_points,
        CAST(sum(vec_id) AS BIGINT) AS sum_vec_id,
@@ -152,5 +167,110 @@ FROM a2 GROUP BY cluster
 """
 
 
-QUERIES = {"kmeans_embeddings": kmeans_embeddings}
-ORACLES = {"kmeans_embeddings": KMEANS_SQL}
+# ---------------------------------------------------------------------------
+# SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
+# web-scale through semantic deduplication", 2023): cluster the
+# embedding space with k-means, then prune near-duplicates ONLY
+# within each cluster — the trick that turns the O(n^2) all-pairs
+# cosine problem into k independent problems of size ~n/k.  Keep rule
+# (deterministic variant of the paper's): within a cluster, a vector
+# is dropped iff a LOWER-id vector sits within cosine >= SEMDEDUP_TAU.
+#
+# Scale design: the pairwise stage is an equi-join on cluster id —
+# the join fan-out is bounded by the cluster size, which K controls
+# (the paper runs k ~ 10^4-10^5 so clusters hold ~10^5 docs); the
+# demo K here matches kmeans_embeddings so the oracle can replay the
+# identical Lloyd assignment.  A pathologically hot cluster is the
+# skew case: split it by salting the cluster key or raising K —
+# never by falling back to all-pairs.
+# ---------------------------------------------------------------------------
+
+SEMDEDUP_TAU = 0.3
+
+#: left-fold norm/dot mirroring Spark's aggregate() exactly
+NORM_FOLD = "sqrt(aggregate(emb, 0D, (acc, x) -> acc + x * x))"
+_COS_PAIR = (
+    "round(aggregate(zip_with(ea, eb, (x, y) -> x * y), 0D,"
+    " (acc, x) -> acc + x) / (na * nb), 6)"
+)
+
+
+def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, cluster_id, keep_flag): k-means clusters + in-cluster
+    cosine pruning, keep-min per semantic-duplicate neighborhood."""
+    from .common import persist_tracked
+
+    vecs = _load_vecs(spark, sf_dir)
+    # persisted: the Lloyd loop already scanned it; the pair join
+    # consumes it twice more
+    a = persist_tracked(
+        _lloyd_assign(vecs).withColumn("norm", F.expr(NORM_FOLD))
+    )
+    pairs = (
+        a.select(
+            F.col("cluster"), F.col("vec_id").alias("va"),
+            F.col("emb").alias("ea"), F.col("norm").alias("na"),
+        )
+        .join(
+            a.select(
+                F.col("cluster"), F.col("vec_id").alias("vb"),
+                F.col("emb").alias("eb"), F.col("norm").alias("nb"),
+            ),
+            "cluster",
+        )
+        .filter(F.col("va") < F.col("vb"))
+        .withColumn("cos", F.expr(_COS_PAIR))
+        .filter(F.col("cos") >= F.lit(SEMDEDUP_TAU))
+    )
+    drops = pairs.select(F.col("vb").alias("vec_id")).distinct()
+    return (
+        a.select("vec_id", F.col("cluster").cast("int").alias("cluster_id"))
+        .join(drops.withColumn("dropped", F.lit(1)), "vec_id", "left")
+        .select(
+            "vec_id",
+            "cluster_id",
+            F.when(F.col("dropped").isNull(), 1).otherwise(0)
+            .cast("int").alias("keep_flag"),
+        )
+    )
+
+
+_NORM_FOLD_SQL = (
+    "sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
+    " list_transform(emb, x -> x * x)), (s, x) -> s + x))"
+)
+_DOT_FOLD_SQL = (
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
+    f" list_transform(range(1, {DIM + 1}),"
+    " i -> nx.emb[i] * ny.emb[i])), (s, x) -> s + x)"
+)
+
+SEMDEDUP_SQL = f"""
+WITH {_LLOYD_CTES},
+n AS (
+  SELECT vec_id, emb, {_NORM_FOLD_SQL} AS norm FROM v
+),
+j AS (
+  SELECT ax.vec_id AS va, ay.vec_id AS vb,
+         round({_DOT_FOLD_SQL} / (nx.norm * ny.norm), 6) AS cos
+  FROM a2 ax
+  JOIN a2 ay ON ax.cluster = ay.cluster AND ax.vec_id < ay.vec_id
+  JOIN n nx ON nx.vec_id = ax.vec_id
+  JOIN n ny ON ny.vec_id = ay.vec_id
+),
+drops AS (SELECT DISTINCT vb FROM j WHERE cos >= {SEMDEDUP_TAU})
+SELECT a2.vec_id,
+       CAST(a2.cluster AS INTEGER) AS cluster_id,
+       CAST(CASE WHEN d.vb IS NULL THEN 1 ELSE 0 END AS INT) AS keep_flag
+FROM a2 LEFT JOIN drops d ON d.vb = a2.vec_id
+"""
+
+
+QUERIES = {
+    "kmeans_embeddings": kmeans_embeddings,
+    "semdedup": semdedup,
+}
+ORACLES = {
+    "kmeans_embeddings": KMEANS_SQL,
+    "semdedup": SEMDEDUP_SQL,
+}

@@ -136,21 +136,34 @@ def lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).withColumn("w1", F.expr("split(bg, ' ')[0]"))
     )
 
+    # model built entirely at DISTINCT-BIGRAM granularity: context
+    # counts and the successor vocabulary derive from the bigram-count
+    # table (sum/countDistinct over distinct rows == counts over
+    # occurrences), and the per-bigram log-prob is precomputed INTO
+    # the model — so the corpus-wide occurrence rows take exactly ONE
+    # scoring join instead of two (measured 5.7s -> see BENCH notes)
     bgc = bg_rows.groupBy("bg").agg(F.count("*").alias("c_bg"))
-    ugc = bg_rows.groupBy("w1").agg(F.count("*").alias("c_w1"))
-    vocab = bg_rows.select(
+    ugc = bgc.withColumn("w1", F.expr("split(bg, ' ')[0]")).groupBy(
+        "w1"
+    ).agg(F.sum("c_bg").alias("c_w1"))
+    vocab = bgc.select(
         F.countDistinct(F.expr("split(bg, ' ')[1]")).alias("v")
     )
-
-    scored = (
-        bg_rows.join(bgc, "bg")
+    model = (
+        bgc.withColumn("w1", F.expr("split(bg, ' ')[0]"))
         .join(ugc, "w1")
         .crossJoin(F.broadcast(vocab))
-        .withColumn("lp", F.expr(_lp_scaled_expr("c_bg", "c_w1", "v")))
+        .select(
+            "bg", F.expr(_lp_scaled_expr("c_bg", "c_w1", "v")).alias("lp")
+        )
     )
-    per_doc = scored.groupBy("doc_id", "lang").agg(
-        F.count("*").cast("bigint").alias("n_bigrams"),
-        F.sum("lp").alias("lp_sum"),
+    per_doc = (
+        bg_rows.join(model, "bg")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_bigrams"),
+            F.sum("lp").alias("lp_sum"),
+        )
     )
 
     sample = per_doc.filter(
@@ -332,24 +345,23 @@ def dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("tkey"),
         )
     )
-    q = feats.groupBy("fb").agg(F.count("*").cast("bigint").alias("q_b"))
-    p = (
-        feats.filter(F.col("tkey") < F.lit(DSIR_TARGET_HEX))
-        .groupBy("fb")
-        .agg(F.count("*").cast("bigint").alias("p_b"))
+    # ONE pass builds both distributions: conditional count for the
+    # target slice rides the same map-side partial agg as the raw
+    # count (no second corpus aggregate, no p-vs-q join)
+    dist = feats.groupBy("fb").agg(
+        F.count("*").cast("bigint").alias("q_b"),
+        F.sum(
+            (F.col("tkey") < F.lit(DSIR_TARGET_HEX)).cast("bigint")
+        ).alias("p_b"),
     )
-    totals = q.agg(F.sum("q_b").alias("q_tot")).crossJoin(
-        p.agg(F.sum("p_b").alias("p_tot"))
+    totals = dist.agg(
+        F.sum("q_b").alias("q_tot"), F.sum("p_b").alias("p_tot")
     )
-    weights = (
-        q.join(p, "fb", "left")
-        .crossJoin(F.broadcast(totals))
-        .select(
-            "fb",
-            F.expr(
-                _dsir_w_expr("coalesce(p_b, 0)", "p_tot", "q_b", "q_tot")
-            ).alias("w"),
-        )
+    weights = dist.crossJoin(F.broadcast(totals)).select(
+        "fb",
+        F.expr(
+            _dsir_w_expr("coalesce(p_b, 0)", "p_tot", "q_b", "q_tot")
+        ).alias("w"),
     )
     per_doc = (
         feats.join(F.broadcast(weights), "fb")
