@@ -187,11 +187,17 @@ FROM a2 GROUP BY cluster
 
 SEMDEDUP_TAU = 0.3
 
-#: left-fold norm/dot mirroring Spark's aggregate() exactly
+#: left-fold norm/dot mirroring Spark's aggregate() exactly; the
+#: zero-norm guard matters for correctness AND parity: an all-zero
+#: embedding (failed encode row) gives 0/0, which Spark evaluates to
+#: NaN (and NaN >= tau is TRUE in Spark's ordering — silent wrong
+#: drops) while DuckDB gives NULL; the CASE makes both engines yield
+#: NULL, which both filters reject
 NORM_FOLD = "sqrt(aggregate(emb, 0D, (acc, x) -> acc + x * x))"
 _COS_PAIR = (
-    "round(aggregate(zip_with(ea, eb, (x, y) -> x * y), 0D,"
-    " (acc, x) -> acc + x) / (na * nb), 6)"
+    "CASE WHEN na * nb > 0 THEN"
+    " round(aggregate(zip_with(ea, eb, (x, y) -> x * y), 0D,"
+    " (acc, x) -> acc + x) / (na * nb), 6) END"
 )
 
 
@@ -252,7 +258,8 @@ n AS (
 ),
 j AS (
   SELECT ax.vec_id AS va, ay.vec_id AS vb,
-         round({_DOT_FOLD_SQL} / (nx.norm * ny.norm), 6) AS cos
+         CASE WHEN nx.norm * ny.norm > 0 THEN
+           round({_DOT_FOLD_SQL} / (nx.norm * ny.norm), 6) END AS cos
   FROM a2 ax
   JOIN a2 ay ON ax.cluster = ay.cluster AND ax.vec_id < ay.vec_id
   JOIN n nx ON nx.vec_id = ax.vec_id

@@ -292,11 +292,14 @@ SELECT doc_id,
 FROM t WHERE len(tokens) >= 4
 """
 
-def extract_format_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+def format_dispatch_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mixed-format corpus through the ONE pipeline: rows synthesized
     as HTML, plain text, or XML by doc_id residue; the detector
     cascade must route each to the right parser (SURVEY.md §2.2
-    dispatch rule), counted per mime with total extracted chars."""
+    dispatch rule), counted per mime with total extracted chars.
+    Unordered aggregate — extract_format_dispatch adds the
+    presentation sort; extract_dispatch unions this directly so the
+    union does not pay two discarded global sorts."""
     docs = load(spark, sf_dir, "documents", parallelize=True)
     did = F.col("doc_id").cast("string")
     body = F.when(
@@ -320,17 +323,20 @@ def extract_format_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.encode(body, "UTF-8").alias("html"),
     )
     res = extract_pages(pages, n_shards=16)
-    return (
-        res.groupBy("mime")
-        .agg(
-            F.count("*").alias("n_docs"),
-            F.sum(F.length("extracted_text")).alias("total_chars"),
-            F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0)).alias(
-                "n_failed"
-            ),
-        )
-        .orderBy("mime")
+    return res.groupBy("mime").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.length("extracted_text")).alias("total_chars"),
+        F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0)).alias(
+            "n_failed"
+        ),
     )
+
+
+def extract_format_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return format_dispatch_agg(spark, sf_dir).orderBy("mime")
+
+
+extract_format_dispatch.__doc__ = format_dispatch_agg.__doc__
 
 
 # expected chars per branch reconstructed analytically:

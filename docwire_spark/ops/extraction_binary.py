@@ -829,8 +829,6 @@ EXTRACT_XLSB_SQL = _roundtrip_sql(
 )
 EXTRACT_PAGES_SQL = _roundtrip_sql(PAGES_MIME, "chr(10)")
 
-FODT_MIME = "application/vnd.oasis.opendocument.text-flat-xml"
-
 
 def extract_fodt_roundtrip(spark, sf_dir):
     """Flat-ODF through the distributed path: the office:mimetype
@@ -870,12 +868,13 @@ def extract_fodt_roundtrip(spark, sf_dir):
 EXTRACT_FODT_SQL = _roundtrip_sql(FODT_MIME, "chr(10) || chr(10)")
 
 
-def extract_binary_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+def binary_dispatch_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mixed binary corpus through the ONE pipeline: each row is
     synthesized as pdf/docx/rtf/eml/zip by doc_id residue; the
     magic-byte + container sniff cascade must route every payload to
     the right parser (zip-vs-docx disambiguation exercises the
-    odf_ooxml ZIP-member sniff)."""
+    odf_ooxml ZIP-member sniff).  Unordered aggregate — see
+    extraction.format_dispatch_agg."""
     docs = load(spark, sf_dir, "documents", parallelize=True)
     fmt = (
         F.when(F.col("doc_id") % 5 == 0, F.lit("pdf"))
@@ -886,17 +885,20 @@ def extract_binary_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pages = _synth_pages(docs, fmt)
     res = extract_pages(pages, n_shards=16)
-    return (
-        res.groupBy("mime")
-        .agg(
-            F.count("*").alias("n_docs"),
-            F.sum(F.length("extracted_text")).alias("total_chars"),
-            F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0)).alias(
-                "n_failed"
-            ),
-        )
-        .orderBy("mime")
+    return res.groupBy("mime").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.length("extracted_text")).alias("total_chars"),
+        F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0)).alias(
+            "n_failed"
+        ),
     )
+
+
+def extract_binary_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return binary_dispatch_agg(spark, sf_dir).orderBy("mime")
+
+
+extract_binary_dispatch.__doc__ = binary_dispatch_agg.__doc__
 
 
 EXTRACT_BINARY_DISPATCH_SQL = f"""
@@ -1045,12 +1047,15 @@ def extract_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     unioned: the full detector cascade (extension map, magic bytes,
     HTML sniff, ZIP-member sniff) routes html/txt/xml AND
     pdf/docx/rtf/eml/zip payloads, counted per (corpus, mime)."""
-    from docwire_spark.ops.extraction import extract_format_dispatch
+    from docwire_spark.ops.extraction import format_dispatch_agg
 
-    a = extract_format_dispatch(spark, sf_dir).withColumn(
+    # union the UNORDERED aggregates: the checker consumes rows
+    # order-insensitively, so the components' presentation sorts
+    # would be two discarded global Sort+Exchange stages
+    a = format_dispatch_agg(spark, sf_dir).withColumn(
         "corpus", F.lit("markup")
     )
-    b = extract_binary_dispatch(spark, sf_dir).withColumn(
+    b = binary_dispatch_agg(spark, sf_dir).withColumn(
         "corpus", F.lit("binary")
     )
     return a.unionByName(b).select(

@@ -233,7 +233,14 @@ class CheckpointedWriter:
             ).withColumn("_seq", F.lit(e["delta_seq"]))
             merged = merged.unionByName(d, allowMissingColumns=True)
         tie_cols = sorted(c for c in merged.columns if c != "_seq")
-        merged = merged.withColumn("_tie", F.xxhash64(*tie_cols))
+        # hash a JSON rendering, not the raw columns: xxhash64 skips
+        # NULL inputs without encoding position, so rows (v, NULL) and
+        # (NULL, v) would collide and the tie would stay
+        # nondeterministic; to_json names each non-null field, making
+        # the digest injective over null placement
+        merged = merged.withColumn(
+            "_tie", F.xxhash64(F.to_json(F.struct(*tie_cols)))
+        )
         w = Window.partitionBy(key_col).orderBy(
             F.col("_seq").desc(), F.col("_tie").asc()
         )

@@ -110,9 +110,13 @@ def run_pipeline(spark, pages, out_dir: str, n_shards: int = 64,
 
     # -- phase 2lm: CCNet LM perplexity tail-drop --------------------------
     def p2lm():
+        from docwire_spark.ops.common import persist_tracked
         from docwire_spark.ops.lm_filter import lm_perplexity
 
-        ppl = lm_perplexity(spark, st2)
+        # persisted: the keep-filter write AND the bucket summary both
+        # consume the scored table — without this the corpus-scale
+        # scoring join runs twice
+        ppl = persist_tracked(lm_perplexity(spark, st2))
         keep = ppl.filter(F.col("bucket") != "tail").select("doc_id")
         docs = spark.read.parquet(os.path.join(st2, "documents.parquet"))
         _write_stage(docs.join(keep, "doc_id", "left_semi"), st2lm)

@@ -58,6 +58,30 @@ def test_drop_iff_smaller_id_neighbor_in_same_cluster(spark, result):
     assert n_dropped > 0, "corpus must contain semantic dups at tau"
 
 
+def test_zero_norm_vector_never_forces_drops(spark, tmp_path):
+    """An all-zero embedding (failed-encode row) must be inert: 0/0
+    cosine evaluates to NULL (not NaN) in both engines, so it neither
+    drops others nor is dropped by similarity.  Regression test for
+    the NaN >= tau Spark semantics."""
+    import math
+
+    rows = [(0, [0.0] * 64, 0)]  # zero vector, lowest id in cluster
+    for i in range(1, 12):
+        # unit-ish vectors along distinct axes: pairwise cos ~ 0
+        v = [0.0] * 64
+        v[i] = 1.0
+        rows.append((i, v, 0))
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    df.write.parquet(str(tmp_path / "embeddings.parquet"))
+    out = {r.vec_id: r for r in semdedup(spark, str(tmp_path)).collect()}
+    assert len(out) == 12
+    # the zero vector pairs with everything at cos NULL -> everyone
+    # keeps (axis vectors are mutually orthogonal, cos 0 < tau)
+    assert all(r.keep_flag == 1 for r in out.values()), out
+
+
 def test_plan_bounded_join_shape(spark):
     plan = (
         semdedup(spark, SF)._jdf.queryExecution().executedPlan().toString()

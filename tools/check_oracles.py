@@ -148,6 +148,7 @@ def main():
         except Exception as e:
             print(f"FAIL {name}: spark error {type(e).__name__}: {e}")
             failed.append(name)
+            plans.pop(name, None)  # fingerprint may precede the error
             continue
         if name not in os_:
             print(f"OK?  {name}: rows={len(rows)} (no oracle, rows-only)")
@@ -159,6 +160,7 @@ def main():
         except Exception as e:
             print(f"FAIL {name}: duckdb error {type(e).__name__}: {e}")
             failed.append(name)
+            plans.pop(name, None)
             continue
         problems = []
         if sorted(cols) != sorted(ocols):
@@ -182,6 +184,8 @@ def main():
         if problems:
             print(f"FAIL {name} ({dt:.1f}s): {'; '.join(problems)}")
             failed.append(name)
+            # a failing query's plan must never enter the baseline
+            plans.pop(name, None)
         else:
             print(f"PASS {name} ({dt:.1f}s): rows={len(rows)}")
     spark.stop()
@@ -194,11 +198,12 @@ def main():
                        plans)
     for n in notes:
         print("PLAN-DIFF", n)
-    if not only:  # full runs rewrite the baseline; partial runs merge
-        merged = plans
-    else:
-        merged = dict(prev)
-        merged.update(plans)
+    # merge-always: keep prior baselines for queries this run did not
+    # PASS (skipped, errored, or hash-failed) so a partial/red run can
+    # never destroy a committed plan baseline; drop only entries whose
+    # query no longer exists in the registry
+    merged = {k: v for k, v in prev.items() if k in qs}
+    merged.update(plans)
     with open(PLANS_PATH, "w") as f:
         json.dump(merged, f, indent=1, sort_keys=True)
     print(f"plan fingerprints: {len(plans)} recorded -> {PLANS_PATH}"
