@@ -81,10 +81,13 @@ def _wrap(fn: Callable) -> Callable:
 # then the consolidated extraction suite (the byte-identity headline).
 # Everything not listed follows in module order.
 PRIORITY_WINDOW = [
-    # relational shell (9)
+    # relational shell (8; source_skew_salt's salting shape is covered
+    # by source_salted_agg, freeing a slot for the bpe family)
     "events_by_type", "events_user_sessions", "orders_fulfillment",
-    "top_parts_by_flag", "source_skew_salt", "source_salted_agg",
+    "top_parts_by_flag", "source_salted_agg",
     "orders_by_nation", "pricing_summary", "events_asof_attribution",
+    # tokenizer training, new round 4 (1)
+    "bpe_train",
     # dedup family (9)
     "dedup_exact", "dedup_minhash_lsh", "dedup_jaccard_exact",
     "dedup_simhash", "dedup_simhash_pairs", "dedup_embedding",
@@ -114,16 +117,16 @@ PRIORITY_WINDOW = [
 
 def _collect():
     from docwire_spark.ops import (
-        bloom, chunking, classify, cluster, cms, corpus_filter, dedup, diff,
-        extraction, extraction_binary, graph, hll, index, lm_filter,
+        bloom, bpe, chunking, classify, cluster, cms, corpus_filter, dedup,
+        diff, extraction, extraction_binary, graph, hll, index, lm_filter,
         multimodal, packing, relational, similarity, stream_extract,
         textstats, web, zorder,
     )
 
     modules = (extraction, extraction_binary, stream_extract, textstats,
-               corpus_filter, lm_filter, index, cluster, web, graph, packing,
-               diff, dedup, similarity, multimodal, relational, bloom,
-               classify, hll, zorder, cms, chunking)
+               corpus_filter, lm_filter, bpe, index, cluster, web, graph,
+               packing, diff, dedup, similarity, multimodal, relational,
+               bloom, classify, hll, zorder, cms, chunking)
     all_q: dict[str, Callable] = {}
     all_o: dict[str, str] = {}
     for m in modules:

@@ -47,6 +47,7 @@ HEADLINE = [
     "corpus_quality_filter",
     "lm_perplexity",
     "dsir_select",
+    "bpe_train",
     "bm25_search",
     "sample_stratified",
     "decontaminate",

@@ -1,0 +1,95 @@
+"""BPE tokenizer training: merge rules equal a reference python BPE
+(classic Sennrich word-frequency algorithm), the left-to-right
+non-overlap rule holds, and the corpus touches only phase 1."""
+
+import pytest
+from pyspark.sql import functions as F
+
+import docwire_spark.ops.bpe as B
+
+SF = "/root/testdata/sf0.001"
+
+
+def _python_bpe(word_counts: dict, n_merges: int):
+    """Reference implementation: Sennrich et al. 2016, fig. 1."""
+    words = {tuple(w): c for w, c in word_counts.items()}
+    out = []
+    for step in range(1, n_merges + 1):
+        pairs = {}
+        for syms, c in words.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] = (
+                    pairs.get((syms[i], syms[i + 1]), 0) + c
+                )
+        if not pairs:
+            break
+        (a, b), c = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        out.append((step, a, b, a + b, c))
+        nxt = {}
+        for syms, cnt in words.items():
+            merged, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    merged.append(a + b)
+                    i += 2
+                else:
+                    merged.append(syms[i])
+                    i += 1
+            nxt[tuple(merged)] = nxt.get(tuple(merged), 0) + cnt
+        words = nxt
+    return out
+
+
+def _run_on_texts(spark, tmp_path, texts):
+    df = spark.createDataFrame(
+        [(i, t, "en", "src0", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.write.parquet(str(tmp_path / "documents.parquet"))
+    return B.bpe_train(spark, str(tmp_path)).collect()
+
+
+def test_matches_reference_bpe(spark, tmp_path):
+    texts = [
+        "lower lower lower newest newest newest newest widest widest",
+        "lowest lowest newest wider wider low low low",
+    ]
+    import re
+
+    wc = {}
+    for t in texts:
+        for w in re.findall(r"[a-z0-9]+", t.lower()):
+            wc[w] = wc.get(w, 0) + 1
+    expected = _python_bpe(wc, B.BPE_MERGES)
+    got = [
+        (r.step, r.sym_a, r.sym_b, r.merged, r.pair_count)
+        for r in sorted(_run_on_texts(spark, tmp_path, texts),
+                        key=lambda r: r.step)
+    ]
+    assert got == expected
+
+
+def test_non_overlap_rule(spark, tmp_path):
+    """'aaaa' with top pair (a, a) must merge to (aa, aa) — two
+    non-overlapping merges, never three."""
+    rows = _run_on_texts(spark, tmp_path, ["aaaa aaaa aaaa"])
+    by_step = {r.step: r for r in rows}
+    assert (by_step[1].sym_a, by_step[1].sym_b) == ("a", "a")
+    # step 2 top pair must be (aa, aa) — i.e. step 1 produced exactly
+    # two 'aa' symbols per word, proving non-overlapping merges
+    assert (by_step[2].sym_a, by_step[2].sym_b) == ("aa", "aa")
+    assert by_step[2].pair_count == 3  # one (aa,aa) pair per word
+    # step 3 has nothing left to merge: the table ends early
+    assert len(rows) == 2
+
+
+def test_real_corpus_produces_full_merge_table(spark):
+    rows = B.bpe_train(spark, SF).collect()
+    assert len(rows) == B.BPE_MERGES
+    steps = sorted(r.step for r in rows)
+    assert steps == list(range(1, B.BPE_MERGES + 1))
+    for r in rows:
+        assert r.merged == r.sym_a + r.sym_b
+        assert r.pair_count > 0

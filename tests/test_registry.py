@@ -10,8 +10,8 @@ import __spark_entry__ as ENTRY
 
 _MODULES = (
     "extraction", "extraction_binary", "stream_extract", "textstats",
-    "corpus_filter", "lm_filter", "index", "cluster", "web", "graph",
-    "packing",
+    "corpus_filter", "lm_filter", "bpe", "index", "cluster", "web",
+    "graph", "packing",
     "diff", "dedup", "similarity", "multimodal", "relational", "bloom",
     "classify", "hll", "zorder", "cms", "chunking",
 )
