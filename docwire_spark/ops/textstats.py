@@ -220,7 +220,9 @@ WITH t AS (
   SELECT doc_id, {TOKENS_SQL} AS tokens FROM documents
 )
 SELECT doc_id,
-       md5(array_to_string(tokens, ' ')) AS fp_md5,
+       -- coalesce: DuckDB array_to_string([]) and NULL-token arrays
+       -- yield NULL where Spark concat_ws yields '' (edge-parity)
+       md5(coalesce(array_to_string(tokens, ' '), '')) AS fp_md5,
        coalesce(list_min(list_transform({SHINGLE3_SQL}, s -> md5(s))), '')
          AS fp_shingle
 FROM t
@@ -561,10 +563,20 @@ def _c4_struct_body() -> str:
     )
 
 
+#: NULL text tokenizes to NULL in both engines, which would NULL every
+#: output column — the C4 spec here treats a NULL document as empty
+_C4_TOKENS_EXPR = (
+    "regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+', 0)"
+)
+_C4_TOKENS_SQL = (
+    "regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+')"
+)
+
+
 def c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents", parallelize=True)
     body = _c4_struct_body()
-    lines_bound = let_expr(TOKENS_EXPR, "ts", _C4_LINES_EXPR)
+    lines_bound = let_expr(_C4_TOKENS_EXPR, "ts", _C4_LINES_EXPR)
     s = F.expr(let_expr(lines_bound, "ls", body))
     out = docs.select("doc_id", s.alias("s")).select("doc_id", "s.*")
     n_kept = (
@@ -603,15 +615,16 @@ SELECT doc_id,
   CAST(len(list_filter({idx}, i -> {has_punct}
        AND {n_words} >= {C4_MIN_WORDS} AND NOT {is_boiler}
        AND {first_pos} != i)) AS BIGINT) AS n_dup_dropped,
-  array_to_string(list_transform(list_filter({idx}, i -> {keep}),
-                                 i -> {line}), chr(10)) AS clean_text
+  coalesce(array_to_string(list_transform(list_filter({idx}, i -> {keep}),
+                                          i -> {line}), chr(10)), '')
+    AS clean_text
 FROM l
 """
 
 
 C4_LINE_FILTER_SQL = f"""
 WITH t AS (
-  SELECT doc_id, {TOKENS_SQL} AS tokens FROM documents
+  SELECT doc_id, {_C4_TOKENS_SQL} AS tokens FROM documents
 ), lb AS (
   SELECT doc_id, tokens, {_C4_L0_SQL} AS l0 FROM t
 ), l AS (
