@@ -81,15 +81,18 @@ def _wrap(fn: Callable) -> Callable:
 # then the consolidated extraction suite (the byte-identity headline).
 # Everything not listed follows in module order.
 PRIORITY_WINDOW = [
-    # relational shell (8; source_skew_salt's salting shape is covered
-    # by source_salted_agg, freeing a slot for the bpe family)
-    "events_by_type", "events_user_sessions", "orders_fulfillment",
-    "top_parts_by_flag", "source_salted_agg",
+    # relational shell (6; events_by_type/top_parts_by_flag shapes are
+    # covered by orders_by_nation/pricing_summary — slots freed for the
+    # round-4 WARC container family)
+    "events_user_sessions", "orders_fulfillment", "source_salted_agg",
     "orders_by_nation", "pricing_summary", "events_asof_attribution",
+    # WARC/WET container ingest+export, new round 4 (3)
+    "warc_roundtrip", "wet_roundtrip", "warc_cdx",
     # tokenizer training, new round 4 (1)
     "bpe_train",
-    # dedup family (9)
-    "dedup_exact", "dedup_minhash_lsh", "dedup_jaccard_exact",
+    # dedup family (8; dedup_jaccard_exact is the labeled O(n^2)
+    # ground-truth validator — kept in the registry, not the window)
+    "dedup_exact", "dedup_minhash_lsh",
     "dedup_simhash", "dedup_simhash_pairs", "dedup_embedding",
     "dedup_chunk_exact", "dedup_chunk_rewrite", "dedup_components",
     # similarity / graph / packing / diff / multimodal (9)
@@ -120,13 +123,13 @@ def _collect():
         bloom, bpe, chunking, classify, cluster, cms, corpus_filter, dedup,
         diff, extraction, extraction_binary, graph, hll, index, lm_filter,
         multimodal, packing, relational, similarity, stream_extract,
-        textstats, web, zorder,
+        textstats, warc_ops, web, zorder,
     )
 
-    modules = (extraction, extraction_binary, stream_extract, textstats,
-               corpus_filter, lm_filter, bpe, index, cluster, web, graph,
-               packing, diff, dedup, similarity, multimodal, relational,
-               bloom, classify, hll, zorder, cms, chunking)
+    modules = (warc_ops, extraction, extraction_binary, stream_extract,
+               textstats, corpus_filter, lm_filter, bpe, index, cluster,
+               web, graph, packing, diff, dedup, similarity, multimodal,
+               relational, bloom, classify, hll, zorder, cms, chunking)
     all_q: dict[str, Callable] = {}
     all_o: dict[str, str] = {}
     for m in modules:

@@ -9,7 +9,10 @@ pattern class).
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
+import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -91,13 +94,36 @@ def persist_tracked(df: DataFrame) -> DataFrame:
 
 def release_persisted() -> None:
     """Unpersist every table cached by query builders since the last
-    release.  Harnesses (bench.py, tools/check_oracles.py) call this
-    after consuming each query's result."""
+    release, and purge tracked scratch dirs.  Harnesses (bench.py,
+    tools/check_oracles.py) call this after consuming each query's
+    result — so a returned DataFrame may lazily read from a tracked
+    scratch dir, but only until the harness moves to the next query."""
     while _PERSISTED:
         try:
             _PERSISTED.pop().unpersist()
         except Exception:
             pass
+    _purge_scratch()
+
+
+#: Scratch dirs created by query builders (WARC exports etc.), removed
+#: at the next release_persisted() and, as a fallback for harnesses
+#: that never call it (the driver's own runner), at process exit.
+_SCRATCH: list[str] = []
+
+
+def scratch_dir(prefix: str) -> str:
+    d = tempfile.mkdtemp(prefix=prefix)
+    _SCRATCH.append(d)
+    return d
+
+
+def _purge_scratch() -> None:
+    while _SCRATCH:
+        shutil.rmtree(_SCRATCH.pop(), ignore_errors=True)
+
+
+atexit.register(_purge_scratch)
 
 
 def let_expr(binding: str, var: str, body: str) -> str:

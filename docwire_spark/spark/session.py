@@ -68,6 +68,10 @@ def build_session(
     b = (
         b
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # WARC-Date serialization and the DuckDB oracles assume UTC
+        # wall times end-to-end; pin it so a host with a local zone
+        # can't shift timestamp roundtrips
+        .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
