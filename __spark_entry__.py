@@ -86,8 +86,10 @@ PRIORITY_WINDOW = [
     # round-4 WARC container family)
     "events_user_sessions", "orders_fulfillment", "source_salted_agg",
     "orders_by_nation", "pricing_summary", "events_asof_attribution",
-    # WARC/WET container ingest+export, new round 4 (3)
-    "warc_roundtrip", "wet_roundtrip", "warc_cdx",
+    # WARC/WET container ingest+export + full crawl composition, new
+    # round 4 (3; wet_roundtrip is registry-covered — subsumed by
+    # warc_extract_wet's WET write+read leg)
+    "warc_roundtrip", "warc_cdx", "warc_extract_wet",
     # tokenizer training, new round 4 (1)
     "bpe_train",
     # dedup family (8; dedup_jaccard_exact is the labeled O(n^2)

@@ -63,6 +63,10 @@ HEADLINE = [
     "zorder_layout",
     "cms_grid",
     "chunk_windows",
+    # WARC container layer (export -> re-ingest; warc_extract_wet is
+    # the full crawl composition: warc in -> kernel -> wet out)
+    "warc_roundtrip",
+    "warc_extract_wet",
     # web / graph
     "url_canonicalize",
     "host_stats",

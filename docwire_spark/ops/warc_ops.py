@@ -151,14 +151,69 @@ FROM pages
 """
 
 
+def warc_extract_wet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full Common-Crawl job in one DAG: .warc.gz segment in ->
+    format sniff + HTML5 DOM + whitespace machine (the real
+    mapInArrow kernel) -> .wet.gz conversion records out -> re-read.
+    The oracle reconstructs the expected extracted bytes analytically
+    from the template (reference rendering rules, SURVEY §2.5.1), so
+    this is a byte-identity gate over ingest, extraction AND export.
+
+    Scale shape: three narrow mapIn* passes chained scan->scan with no
+    corpus shuffle at all — warc_ts for the WET records is re-derived
+    from the url (carried columns, not a corpus self-join)."""
+    from docwire_spark.spark.extract import extract_pages
+    from docwire_spark.spark.warc_io import read_warc, write_wet, write_warc
+
+    docs = load(spark, sf_dir, "documents", parallelize=True)
+    pages = docs.selectExpr(
+        f"{_URL_SPARK} AS url",
+        f"{_TS_SPARK} AS warc_ts",
+        "encode('<html><head><title>d</title></head><body><p>' || text"
+        " || '</p></body></html>', 'UTF-8') AS html",
+    )
+    warc_dir = scratch_dir("warc_in_")
+    wet_dir = scratch_dir("wet_out_")
+    assert write_warc(pages, warc_dir, n_files=8).count() >= 1
+
+    ingested = read_warc(spark, warc_dir).filter(
+        "warc_type = 'response'"
+    ).selectExpr("url", "payload AS html")
+    extracted = extract_pages(ingested, n_shards=16).selectExpr(
+        "url",
+        # ts re-derived from the url's trailing doc_id (shuffle-free)
+        "timestampadd(SECOND,"
+        " CAST(element_at(split(url, '/'), -1) AS INT) % 86400,"
+        " TIMESTAMP '2025-01-01 00:00:00') AS warc_ts",
+        "extracted_text AS text",
+    )
+    assert write_wet(extracted, wet_dir, n_files=8).count() >= 1
+
+    return read_warc(spark, wet_dir).filter(
+        "warc_type = 'conversion'"
+    ).selectExpr(
+        "url", "decode(payload, 'UTF-8') AS extracted_text"
+    )
+
+
+WARC_EXTRACT_WET_SQL = f"""
+SELECT {_URL_DUCK} AS url,
+       trim(regexp_replace(text, ' +', ' ', 'g')) || chr(10) || chr(10)
+         AS extracted_text
+FROM documents
+"""
+
+
 QUERIES = {
     "warc_roundtrip": warc_roundtrip,
     "wet_roundtrip": wet_roundtrip,
     "warc_cdx": warc_cdx,
+    "warc_extract_wet": warc_extract_wet,
 }
 
 ORACLES = {
     "warc_roundtrip": WARC_ROUNDTRIP_SQL,
     "wet_roundtrip": WET_ROUNDTRIP_SQL,
     "warc_cdx": WARC_CDX_SQL,
+    "warc_extract_wet": WARC_EXTRACT_WET_SQL,
 }

@@ -9,6 +9,7 @@ import importlib
 import __spark_entry__ as ENTRY
 
 _MODULES = (
+    "warc_ops",
     "extraction", "extraction_binary", "stream_extract", "textstats",
     "corpus_filter", "lm_filter", "bpe", "index", "cluster", "web",
     "graph", "packing",
