@@ -48,6 +48,7 @@ HEADLINE = [
     "lm_perplexity",
     "dsir_select",
     "bpe_train",
+    "bpe_encode",
     "bm25_search",
     "sample_stratified",
     "decontaminate",

@@ -54,23 +54,27 @@ _PAIRS_EXPR = (
 )
 
 
-def _merge_fold_expr(a: str, b: str) -> str:
+def _merge_fold_expr(a: str, b: str, syms: str = "syms", lvl: str = "") -> str:
     """Spark fold: merge every left-to-right non-overlapping (a, b)
-    symbol pair in ``syms``.  a/b are [a-z0-9]+ symbols — literal-safe."""
+    symbol pair in the symbols-string expression ``syms``.  a/b are
+    [a-z0-9]+ symbols — literal-safe.  ``lvl`` suffixes the lambda
+    variable names so folds can nest (Spark rejects shadowed lambda
+    variables); ``syms`` sits in argument position, so it is evaluated
+    once however deep the nesting (see common.let_expr)."""
+    acc, x = f"acc{lvl}", f"x{lvl}"
     tail = f"concat(char(31), '{a}')"
     return (
-        "aggregate(split(syms, char(31)), CAST('' AS STRING),"
-        " (acc, x) -> CASE"
-        " WHEN acc = '' THEN x"
-        f" WHEN x = '{b}' AND (acc = '{a}' OR endswith(acc, {tail}))"
-        "  THEN concat(acc, x)"
-        " ELSE concat(acc, char(31), x) END)"
+        f"aggregate(split({syms}, char(31)), CAST('' AS STRING),"
+        f" ({acc}, {x}) -> CASE"
+        f" WHEN {acc} = '' THEN {x}"
+        f" WHEN {x} = '{b}' AND ({acc} = '{a}' OR endswith({acc}, {tail}))"
+        f"  THEN concat({acc}, {x})"
+        f" ELSE concat({acc}, char(31), {x}) END)"
     )
 
 
-def bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The first ``BPE_MERGES`` learned merge rules:
-    (step, sym_a, sym_b, merged, pair_count)."""
+def _train_merges(spark: SparkSession, sf_dir: str) -> list[tuple]:
+    """Run the training loop; returns [(step, a, b, merged, count)]."""
     from .common import persist_tracked
 
     docs = load(spark, sf_dir, "documents", parallelize=True)
@@ -109,10 +113,63 @@ def bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.expr(_merge_fold_expr(top["a"], top["b"])).alias("syms"),
             )
         )
+    return merges
+
+
+def bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first ``BPE_MERGES`` learned merge rules:
+    (step, sym_a, sym_b, merged, pair_count)."""
     return spark.createDataFrame(
-        merges,
+        _train_merges(spark, sf_dir),
         "step int, sym_a string, sym_b string, merged string,"
         " pair_count bigint",
+    )
+
+
+def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the learned merges to every document — the train->encode
+    half of the tokenize->pack->shuffle pipeline (pack_sequences /
+    train_shuffle_export consume counts like ``n_subwords``).
+
+    Scale shape: the model (BPE_MERGES pairs of short strings) crosses
+    the driver boundary and is INLINED into a single map-side
+    expression — encoding is one shuffle-free codegen'd pass over the
+    corpus, the same tiny-model/huge-data topology as training.  With
+    a production-sized vocab (50k merges) the inlined fold chain would
+    be replaced by a broadcast merge-rank dict inside an Arrow-batched
+    pandas UDF (same topology, same zero-shuffle plan); the fold chain
+    is the exact-parity demo the DuckDB oracle can replay.
+
+    Per-token cost note: folds apply per token OCCURRENCE.  Zipf says
+    encoding the distinct-token table once and joining back would do
+    ~100x less fold work, but costs two corpus-wide shuffles
+    (explode + join + regroup) — at 10^12 docs the shuffle-free map
+    pass wins; revisit only if the merge chain grows past the point
+    where fold cost beats shuffle cost."""
+    merges = _train_merges(spark, sf_dir)
+    # per-token symbols string, then one fold per learned merge
+    syms = (
+        "array_join(transform(sequence(1, length(t)),"
+        " i -> substring(t, i, 1)), char(31))"
+    )
+    for lvl, (_, a, b, _, _) in enumerate(merges, 1):
+        syms = _merge_fold_expr(a, b, syms=syms, lvl=str(lvl))
+    docs = load(spark, sf_dir, "documents", parallelize=True)
+    return docs.selectExpr(
+        "doc_id",
+        f"{TOKENS_EXPR} AS tokens",
+    ).selectExpr(
+        "doc_id",
+        "CAST(size(tokens) AS BIGINT) AS n_words",
+        f"flatten(transform(tokens, t -> split({syms}, char(31))))"
+        " AS subwords",
+    ).selectExpr(
+        "doc_id",
+        "n_words",
+        "CAST(size(subwords) AS BIGINT) AS n_subwords",
+        "CAST(size(array_distinct(subwords)) AS BIGINT)"
+        " AS n_distinct_subwords",
+        "array_join(slice(subwords, 1, 6), ' ') AS preview",
     )
 
 
@@ -180,5 +237,78 @@ w1 AS (
 
 BPE_TRAIN_SQL = _bpe_sql()
 
-QUERIES = {"bpe_train": bpe_train}
-ORACLES = {"bpe_train": BPE_TRAIN_SQL}
+
+def _sql_fold_on(t: str, syms_expr: str, lvl: str) -> str:
+    """DuckDB fold over an arbitrary symbols-string expression with the
+    winning pair from 1-row CTE ``t``; unique lambda names per level."""
+    acc, x = f"acc{lvl}", f"x{lvl}"
+    return (
+        f"list_reduce(list_prepend('', string_split({syms_expr}, chr(31))),"
+        f" ({acc}, {x}) -> CASE"
+        f" WHEN {acc} = '' THEN {x}"
+        f" WHEN {x} = {t}.b AND ({acc} = {t}.a"
+        f"  OR ends_with({acc}, chr(31) || {t}.a))"
+        f"  THEN {acc} || {x}"
+        f" ELSE {acc} || chr(31) || {x} END)"
+    )
+
+
+def _bpe_encode_sql() -> str:
+    # training CTE chain (identical to BPE_TRAIN_SQL's), then encode
+    its = []
+    for s in range(1, BPE_MERGES + 1):
+        its.append(f"pc{s} AS ({_sql_pair_counts(f'w{s}')})")
+        its.append(
+            f"t{s} AS (SELECT a, b, c FROM pc{s}"
+            " ORDER BY c DESC, a, b LIMIT 1)"
+        )
+        if s < BPE_MERGES:
+            its.append(
+                f"w{s + 1} AS (SELECT cnt, {_sql_merge_fold(f't{s}')}"
+                f" AS syms FROM w{s}, t{s})"
+            )
+    syms = (
+        "array_to_string(list_transform(generate_series(1, length(t)),"
+        " i -> substring(t, i, 1)), chr(31))"
+    )
+    for s in range(1, BPE_MERGES + 1):
+        syms = _sql_fold_on(f"t{s}", syms, str(s))
+    t_tables = ", ".join(f"t{s}" for s in range(1, BPE_MERGES + 1))
+    iter_ctes = ",\n".join(its)
+    return f"""
+WITH tok AS (
+  SELECT unnest({TOKENS_SQL}) AS token FROM documents
+),
+vocab AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS cnt
+  FROM tok GROUP BY token ORDER BY cnt DESC, token LIMIT {BPE_VOCAB_CAP}
+),
+w1 AS (
+  SELECT cnt,
+         array_to_string(list_transform(generate_series(1, length(token)),
+                                        i -> substring(token, i, 1)),
+                         chr(31)) AS syms
+  FROM vocab
+),
+{iter_ctes},
+enc AS (
+  SELECT doc_id,
+         flatten(list_transform({TOKENS_SQL},
+                                t -> string_split({syms}, chr(31))))
+           AS subwords,
+         len({TOKENS_SQL}) AS n_words
+  FROM documents, {t_tables}
+)
+SELECT doc_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       CAST(len(subwords) AS BIGINT) AS n_subwords,
+       CAST(len(list_distinct(subwords)) AS BIGINT) AS n_distinct_subwords,
+       array_to_string(subwords[1:6], ' ') AS preview
+FROM enc
+"""
+
+
+BPE_ENCODE_SQL = _bpe_encode_sql()
+
+QUERIES = {"bpe_train": bpe_train, "bpe_encode": bpe_encode}
+ORACLES = {"bpe_train": BPE_TRAIN_SQL, "bpe_encode": BPE_ENCODE_SQL}

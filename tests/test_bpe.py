@@ -93,3 +93,60 @@ def test_real_corpus_produces_full_merge_table(spark):
     for r in rows:
         assert r.merged == r.sym_a + r.sym_b
         assert r.pair_count > 0
+
+
+def _python_encode(text, merges):
+    """Greedy in-merge-order application (matches the fold chain)."""
+    import re
+
+    out = []
+    for w in re.findall(r"[a-z0-9]+", text.lower()):
+        syms = list(w)
+        for _, a, b, _m, _c in merges:
+            merged, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    merged.append(a + b)
+                    i += 2
+                else:
+                    merged.append(syms[i])
+                    i += 1
+            syms = merged
+        out.extend(syms)
+    return out
+
+
+def test_encode_matches_python_reference(spark, tmp_path):
+    texts = [
+        "lower lower lower newest newest newest newest widest widest",
+        "lowest lowest newest wider wider low low low",
+        "zz qq",  # untouched by any merge
+        "",       # empty doc -> 0 words, 0 subwords
+    ]
+    df = spark.createDataFrame(
+        [(i, t, "en", "src0", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.write.parquet(str(tmp_path / "documents.parquet"))
+    merges = B._train_merges(spark, str(tmp_path))
+    got = {r.doc_id: r for r in B.bpe_encode(spark, str(tmp_path)).collect()}
+    for i, t in enumerate(texts):
+        exp = _python_encode(t, merges)
+        r = got[i]
+        assert r.n_subwords == len(exp), (i, exp)
+        assert r.n_distinct_subwords == len(set(exp))
+        assert r.preview == " ".join(exp[:6])
+        # subwords reconstruct the words exactly (no char lost/dup)
+        import re
+        assert r.n_words == len(re.findall(r"[a-z0-9]+", t.lower()))
+
+
+def test_encode_plan_is_shuffle_free_map_pass(spark):
+    """Encoding itself must add no Exchange beyond the scan-side
+    repartition load() applies: the model is inlined, data never
+    shuffles."""
+    df = B.bpe_encode(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # one Exchange from load(parallelize=True)'s right-sizing only
+    assert plan.count("Exchange") <= 1, plan
+    assert "CartesianProduct" not in plan
