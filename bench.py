@@ -72,6 +72,7 @@ HEADLINE = [
     "url_canonicalize",
     "host_stats",
     "url_dedup_latest",
+    "robots_filter",
     "corpus_diff",
     "pagerank",
     # dedup (scale paths only)

@@ -202,13 +202,125 @@ FROM ranked WHERE rn = 1
 """
 
 
+#: deterministic robots synthesis: 13 hosts; per host a disallow
+#: prefix on one leading digit, a LONGER allow override, a
+#: never-matching rule, and (every 4th host) a same-length allow
+#: duplicate of the disallow — the spec's "tie -> allow wins" case.
+_N_ROBOTS_HOSTS = 13
+
+
+def robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl politeness: evaluate robots.txt rules against every URL
+    with the public robots spec semantics (longest-prefix match wins;
+    equal length -> allow wins; no match -> allowed).
+
+    Scale shape: rule tables are per-host and tiny (a robots.txt is
+    KBs), so the rules are pre-grouped into one array per host and
+    BROADCAST; each page then resolves its verdict in a per-row fold
+    over its host's rules — one broadcast hash join + a map pass, no
+    corpus shuffle and no corpus-wide window.  (The naive plan —
+    explode candidates + row_number over url — shuffles the corpus
+    twice; the fold is the 10^12-doc plan.)"""
+    docs = load(spark, sf_dir, "documents", parallelize=True)
+    pages = docs.selectExpr(
+        "doc_id",
+        f"'https://crawl' || CAST(doc_id % {_N_ROBOTS_HOSTS} AS STRING)"
+        " || '.example/p/' || CAST(doc_id AS STRING) AS url",
+        f"'crawl' || CAST(doc_id % {_N_ROBOTS_HOSTS} AS STRING)"
+        " || '.example' AS host",
+        "'/p/' || CAST(doc_id AS STRING) AS path",
+    )
+    rules = spark.range(_N_ROBOTS_HOSTS).selectExpr(
+        "CAST(id AS INT) AS k"
+    ).selectExpr(
+        "'crawl' || CAST(k AS STRING) || '.example' AS host",
+        "concat("
+        " array("
+        "  named_struct('prefix', '/p/' || CAST((k*3)%10 AS STRING),"
+        "               'allow', false),"
+        "  named_struct('prefix', '/p/' || CAST((k*3)%10 AS STRING)"
+        "                || CAST((k+1)%10 AS STRING), 'allow', true),"
+        "  named_struct('prefix', '/q', 'allow', false)),"
+        " CASE WHEN k % 4 = 0 THEN"
+        "  array(named_struct('prefix', '/p/' || CAST((k*3)%10 AS STRING),"
+        "                     'allow', true))"
+        " ELSE array() END) AS rules",
+    )
+    joined = pages.join(F.broadcast(rules), "host", "left")
+    best = (
+        "aggregate("
+        " filter(rules, r -> startswith(path, r.prefix)),"
+        " CAST(NULL AS STRUCT<prefix: STRING, allow: BOOLEAN>),"
+        " (acc, r) -> CASE"
+        "  WHEN acc IS NULL THEN r"
+        "  WHEN length(r.prefix) > length(acc.prefix) THEN r"
+        "  WHEN length(r.prefix) = length(acc.prefix)"
+        "   AND r.allow AND NOT acc.allow THEN r"
+        "  ELSE acc END)"
+    )
+    return joined.selectExpr("url", f"{best} AS best").selectExpr(
+        "url",
+        "coalesce(best.prefix, '') AS matched_prefix",
+        "coalesce(best.allow, true) AS allowed",
+    )
+
+
+ROBOTS_SQL = f"""
+WITH ks AS (SELECT unnest(generate_series(0, {_N_ROBOTS_HOSTS - 1})) AS k),
+rules AS (
+  SELECT 'crawl' || CAST(k AS VARCHAR) || '.example' AS host,
+         '/p/' || CAST((k*3)%10 AS VARCHAR) AS prefix, false AS allow
+  FROM ks
+  UNION ALL
+  SELECT 'crawl' || CAST(k AS VARCHAR) || '.example',
+         '/p/' || CAST((k*3)%10 AS VARCHAR) || CAST((k+1)%10 AS VARCHAR),
+         true
+  FROM ks
+  UNION ALL
+  SELECT 'crawl' || CAST(k AS VARCHAR) || '.example', '/q', false FROM ks
+  UNION ALL
+  SELECT 'crawl' || CAST(k AS VARCHAR) || '.example',
+         '/p/' || CAST((k*3)%10 AS VARCHAR), true
+  FROM ks WHERE k % 4 = 0
+),
+pages AS (
+  SELECT doc_id,
+         'https://crawl' || CAST(doc_id % {_N_ROBOTS_HOSTS} AS VARCHAR)
+           || '.example/p/' || CAST(doc_id AS VARCHAR) AS url,
+         'crawl' || CAST(doc_id % {_N_ROBOTS_HOSTS} AS VARCHAR)
+           || '.example' AS host,
+         '/p/' || CAST(doc_id AS VARCHAR) AS path
+  FROM documents
+),
+cand AS (
+  SELECT p.doc_id, p.url, r.prefix, r.allow
+  FROM pages p
+  LEFT JOIN rules r
+    ON p.host = r.host AND starts_with(p.path, r.prefix)
+),
+best AS (
+  SELECT doc_id, url, prefix, allow,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY length(prefix) DESC,
+                                     allow DESC, prefix) AS rn
+  FROM cand
+)
+SELECT url,
+       coalesce(prefix, '') AS matched_prefix,
+       coalesce(allow, true) AS allowed
+FROM best WHERE rn = 1
+"""
+
+
 QUERIES = {
     "url_canonicalize": url_canonicalize,
     "host_stats": host_stats,
     "url_dedup_latest": url_dedup_latest,
+    "robots_filter": robots_filter,
 }
 ORACLES = {
     "url_canonicalize": URL_CANON_SQL,
     "host_stats": HOST_STATS_SQL,
     "url_dedup_latest": URL_DEDUP_SQL,
+    "robots_filter": ROBOTS_SQL,
 }

@@ -114,3 +114,51 @@ def test_pagerank_plan_has_no_cartesian(spark):
 
     plan = _plan(pagerank(spark, SF_DIR))
     assert "CartesianProduct" not in plan
+
+
+def _python_robots_verdict(doc_id: int) -> tuple[str, bool]:
+    """Reference longest-prefix / tie-allow-wins evaluation of the
+    synthesized rule set for one doc."""
+    k = doc_id % 13
+    path = f"/p/{doc_id}"
+    rules = [
+        (f"/p/{(k * 3) % 10}", False),
+        (f"/p/{(k * 3) % 10}{(k + 1) % 10}", True),
+        ("/q", False),
+    ]
+    if k % 4 == 0:
+        rules.append((f"/p/{(k * 3) % 10}", True))
+    cand = [(p, a) for p, a in rules if path.startswith(p)]
+    if not cand:
+        return "", True
+    best = max(cand, key=lambda pa: (len(pa[0]), pa[1]))
+    return best
+
+
+def test_robots_longest_match_and_tie_semantics(spark):
+    from docwire_spark.ops.web import robots_filter
+
+    rows = {
+        int(r.url.rsplit("/", 1)[1]): r
+        for r in robots_filter(spark, SF_DIR).collect()
+    }
+    assert len(rows) == 500
+    verdicts = set()
+    for doc_id, r in rows.items():
+        exp_prefix, exp_allow = _python_robots_verdict(doc_id)
+        assert (r.matched_prefix, r.allowed) == (exp_prefix, exp_allow), doc_id
+        verdicts.add((r.matched_prefix != "", r.allowed))
+    # the synthesized corpus must exercise all three outcome classes:
+    # matched+denied, matched+allowed (override or tie), unmatched+allowed
+    assert (True, False) in verdicts
+    assert (True, True) in verdicts
+    assert (False, True) in verdicts
+
+
+def test_robots_plan_broadcasts_rules_no_corpus_window(spark):
+    from docwire_spark.ops.web import robots_filter
+
+    plan = _plan(robots_filter(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "Window" not in plan  # verdict is a per-row fold, not a window
+    assert "SortMergeJoin" not in plan
