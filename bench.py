@@ -75,6 +75,7 @@ HEADLINE = [
     "robots_filter",
     "corpus_diff",
     "pagerank",
+    "link_graph",
     # dedup (scale paths only)
     "dedup_exact",
     "dedup_minhash_lsh",

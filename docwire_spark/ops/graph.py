@@ -167,5 +167,88 @@ FROM s2 JOIN deg USING (node)
 """
 
 
-QUERIES = {"pagerank": pagerank}
-ORACLES = {"pagerank": PAGERANK_SQL}
+#: link-graph synthesis moduli (host count matches warc_ops; target
+#: path space is a fixed residue ring so the oracle needs no corpus
+#: count)
+_LG_HOSTS = 13
+_LG_PATHS = 997
+
+
+def link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-to-host edge extraction from REAL HTML through the real
+    kernel: anchors render as ``<url>`` spans (kind='link'), and the
+    span offsets recover each outlink from the extracted text — the
+    byte-identity gate extended to the link layer.  This is the table
+    that feeds pagerank/host_stats at crawl scale (reference renders
+    links the same way, src/plain_text_writer.cpp; SURVEY §2.5.1).
+
+    Scale shape: extraction is the usual mapInArrow pass; outlink
+    recovery is per-row array ops (filter + substring over the span
+    extents, no regex over the full text); the only shuffle is the
+    final groupBy on (src_host, dst_host) — a key space bounded by
+    host-pair cardinality, with map-side partial aggregation."""
+    from docwire_spark.spark.extract import extract_pages
+
+    from .common import load
+
+    docs = load(spark, sf_dir, "documents", parallelize=True)
+    pages = docs.selectExpr(
+        f"'https://crawl' || CAST(doc_id % {_LG_HOSTS} AS STRING)"
+        " || '.example/p/' || CAST(doc_id AS STRING) AS url",
+        "encode('<html><body>"
+        f"<p><a href=\"https://crawl' || CAST((doc_id * 3 + 1) % {_LG_HOSTS}"
+        f" AS STRING) || '.example/p/' || CAST((doc_id * 7 + 1) % {_LG_PATHS}"
+        " AS STRING) || '\">a</a> x</p>"
+        f"<p><a href=\"https://crawl' || CAST((doc_id * 5 + 2) % {_LG_HOSTS}"
+        f" AS STRING) || '.example/p/' || CAST((doc_id * 11 + 5) % {_LG_PATHS}"
+        " AS STRING) || '\">b</a> y</p>"
+        "</body></html>', 'UTF-8') AS html",
+    )
+    res = extract_pages(pages, n_shards=16)
+    links = res.selectExpr(
+        "regexp_extract(url, '^https?://([^/]+)', 1) AS src_host",
+        "transform(filter(spans, p -> p.kind = 'link'),"
+        " p -> substring(extracted_text, CAST(p.start + 1 AS INT),"
+        "                CAST(p.end - p.start AS INT))) AS raws",
+    ).selectExpr(
+        "src_host", "explode(raws) AS raw"
+    ).selectExpr(
+        # strip the <> around the rendered url
+        "src_host",
+        "substring(raw, 2, length(raw) - 2) AS dst_url",
+    )
+    return links.selectExpr(
+        "src_host",
+        "regexp_extract(dst_url, '^https?://([^/]+)', 1) AS dst_host",
+        "dst_url",
+    ).groupBy("src_host", "dst_host").agg(
+        F.count("*").cast("bigint").alias("n_links"),
+        F.countDistinct("dst_url").cast("bigint").alias("n_distinct_targets"),
+    )
+
+
+LINK_GRAPH_SQL = f"""
+WITH outlinks AS (
+  SELECT 'crawl' || CAST(doc_id % {_LG_HOSTS} AS VARCHAR) || '.example'
+           AS src_host,
+         'https://crawl' || CAST((doc_id * 3 + 1) % {_LG_HOSTS} AS VARCHAR)
+           || '.example/p/' || CAST((doc_id * 7 + 1) % {_LG_PATHS} AS VARCHAR)
+           AS dst_url
+  FROM documents
+  UNION ALL
+  SELECT 'crawl' || CAST(doc_id % {_LG_HOSTS} AS VARCHAR) || '.example',
+         'https://crawl' || CAST((doc_id * 5 + 2) % {_LG_HOSTS} AS VARCHAR)
+           || '.example/p/' || CAST((doc_id * 11 + 5) % {_LG_PATHS} AS VARCHAR)
+  FROM documents
+)
+SELECT src_host,
+       regexp_extract(dst_url, '^https?://([^/]+)', 1) AS dst_host,
+       CAST(count(*) AS BIGINT) AS n_links,
+       CAST(count(DISTINCT dst_url) AS BIGINT) AS n_distinct_targets
+FROM outlinks
+GROUP BY src_host, dst_host
+"""
+
+
+QUERIES = {"pagerank": pagerank, "link_graph": link_graph}
+ORACLES = {"pagerank": PAGERANK_SQL, "link_graph": LINK_GRAPH_SQL}

@@ -162,3 +162,15 @@ def test_robots_plan_broadcasts_rules_no_corpus_window(spark):
     assert "BroadcastHashJoin" in plan
     assert "Window" not in plan  # verdict is a per-row fold, not a window
     assert "SortMergeJoin" not in plan
+
+
+def test_link_graph_extracts_every_outlink(spark):
+    from docwire_spark.ops.graph import link_graph
+
+    edges = link_graph(spark, SF_DIR).collect()
+    # 2 anchors per document, recovered through the real kernel's spans
+    assert sum(e.n_links for e in edges) == 2 * 500
+    for e in edges:
+        assert e.src_host.startswith("crawl")
+        assert e.dst_host.endswith(".example")
+        assert 1 <= e.n_distinct_targets <= e.n_links
