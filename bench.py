@@ -59,6 +59,7 @@ HEADLINE = [
     "pack_sequences",
     "train_shuffle_export",
     "ml_quality_score",
+    "ml_quality_train",
     "bloom_url_blocklist",
     "hll_registers",
     "zorder_layout",

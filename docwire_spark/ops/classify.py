@@ -87,5 +87,133 @@ FROM t
 """
 
 
-QUERIES = {"ml_quality_score": ml_quality_score}
-ORACLES = {"ml_quality_score": ML_QUALITY_SCORE_SQL}
+def _bucket_lambda() -> str:
+    return hash_expr("t", 0, N_BUCKETS)
+
+
+#: teacher-label threshold for TRAINING: the Knuth-mix weights skew
+#: negative on this tokenizer (teacher-score median ~ -1900 at every
+#: sf), so thresholding at the median-ish constant yields balanced
+#: classes — the centroid rule has no class-prior term, and balanced
+#: labels are what make train accuracy a meaningful gate (vs the 82:18
+#: split at threshold 0 where majority-vote already scores 0.82).
+TEACHER_THRESHOLD = -1900
+
+
+def ml_quality_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAIN the quality classifier: a Rocchio/centroid text classifier
+    (Rocchio 1971; Han & Karypis 2000) over hashed token features,
+    fit to the teacher labels produced by ``ml_quality_score``'s
+    hidden linear model, then evaluated on the training corpus.
+
+    The centroid decision rule ``x . (c1/T1 - c0/T0) > 0`` is
+    cross-multiplied into ``x . (c1*T0 - c0*T1) > 0`` so training AND
+    inference stay BIGINT-exact end to end — no floats, no division,
+    bit-identical across engines/partitionings/row orders (the
+    property that lets DuckDB replay the whole fit as the oracle, and
+    that order-dependent float SGD can never give;  an iterative
+    batch-perceptron variant was measured to oscillate under lr=1 —
+    one-shot closed-form fit is both cheaper and stable).
+
+    Scale topology: one explode + hash-agg bounded by the model size
+    (<= N_BUCKETS rows after map-side partial agg — the corpus-scale
+    stage), two scalar totals, then the <= 4096-row weight table
+    crosses to the driver and inference runs exactly like
+    ml_quality_score: weights inlined as a literal array, one
+    shuffle-free map pass at scan throughput.  The corpus never moves.
+    Returns per-doc (doc_id, y, pred) for the training-set eval."""
+    docs = load(spark, sf_dir, "documents", parallelize=True)
+    bucket = _bucket_lambda()
+    teacher = _weight_lambda()
+    base = docs.selectExpr(
+        "doc_id", f"{_TOK_SPARK} AS tokens"
+    ).selectExpr(
+        "doc_id",
+        f"transform(tokens, t -> {bucket}) AS buckets",
+        f"CAST(aggregate(transform(tokens, t -> {teacher}),"
+        " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+        f" > {TEACHER_THRESHOLD} AS INT) AS y",
+    )
+    from .common import persist_tracked
+
+    base = persist_tracked(base)
+
+    occ = base.selectExpr(
+        "CAST(y AS BIGINT) AS y", "explode(buckets) AS bucket"
+    )
+    cnts = occ.groupBy("bucket").agg(
+        F.sum("y").alias("c1"),
+        F.sum(F.expr("1 - y")).alias("c0"),
+    )
+    t1, t0 = 0, 0
+    w = [0] * N_BUCKETS
+    rows = cnts.collect()
+    t1 = sum(int(r["c1"]) for r in rows)
+    t0 = sum(int(r["c0"]) for r in rows)
+    for r in rows:
+        w[int(r["bucket"])] = int(r["c1"]) * t0 - int(r["c0"]) * t1
+    arr = "array(" + ",".join(f"{v}L" for v in w) + ")"
+    score = (
+        f"aggregate(buckets, CAST(0 AS BIGINT),"
+        f" (acc, b) -> acc + element_at({arr}, CAST(b + 1 AS INT)))"
+    )
+    return base.selectExpr(
+        "doc_id", "y", f"CAST({score} > 0 AS INT) AS pred"
+    )
+
+
+def _train_sql() -> str:
+    """Oracle: same closed-form fit — per-class bucket counts, scalar
+    totals, cross-multiplied weights, per-doc re-score."""
+    bucket = _bucket_lambda()
+    teacher = _weight_lambda()
+    th = TEACHER_THRESHOLD
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOK_DUCK}) AS t FROM documents
+),
+ydoc AS (
+  SELECT d.doc_id, CAST(coalesce(s.sc, 0) > {th} AS INT) AS y
+  FROM documents d
+  LEFT JOIN (SELECT doc_id, sum({teacher}) AS sc FROM tok GROUP BY doc_id)
+    s USING (doc_id)
+),
+occ AS (
+  SELECT tok.doc_id, yd.y, {bucket} AS bucket
+  FROM tok JOIN ydoc yd ON tok.doc_id = yd.doc_id
+),
+cnts AS (
+  SELECT bucket,
+         CAST(sum(y) AS BIGINT) AS c1,
+         CAST(sum(1 - y) AS BIGINT) AS c0
+  FROM occ GROUP BY bucket
+),
+tot AS (
+  SELECT CAST(sum(c1) AS BIGINT) AS t1, CAST(sum(c0) AS BIGINT) AS t0
+  FROM cnts
+),
+w AS (
+  SELECT bucket, c1 * tot.t0 - c0 * tot.t1 AS wv
+  FROM cnts, tot
+),
+scores AS (
+  SELECT o.doc_id, CAST(sum(w.wv) AS BIGINT) AS sc
+  FROM occ o JOIN w USING (bucket)
+  GROUP BY o.doc_id
+)
+SELECT yd.doc_id, yd.y,
+       CAST(coalesce(s.sc, 0) > 0 AS INT) AS pred
+FROM ydoc yd LEFT JOIN scores s USING (doc_id)
+"""
+
+
+ML_QUALITY_TRAIN_SQL = _train_sql()
+
+QUERIES = {
+    "ml_quality_score": ml_quality_score,
+    "ml_quality_train": ml_quality_train,
+}
+ORACLES = {
+    "ml_quality_score": ML_QUALITY_SCORE_SQL,
+    "ml_quality_train": ML_QUALITY_TRAIN_SQL,
+}

@@ -83,3 +83,33 @@ def test_shuffle_export_global_window_is_bucket_sized(spark):
     # ...and every window over docs is partitioned by bucket
     for m in re.finditer(r"Window \[[^\]]*row_number[^\]]*\]", plan):
         assert "bkt" in m.group(0)
+
+
+def test_train_beats_majority_and_is_deterministic(spark):
+    """The centroid fit must be a real classifier: clearly better than
+    the majority vote on the balanced teacher labels, and bit-stable
+    across runs (exact integer arithmetic end to end)."""
+    from docwire_spark.ops.classify import ml_quality_train
+
+    rows = {r.doc_id: (r.y, r.pred)
+            for r in ml_quality_train(spark, SF).collect()}
+    n = len(rows)
+    assert n == 500
+    acc = sum(1 for y, p in rows.values() if y == p) / n
+    pos_rate = sum(y for y, _ in rows.values()) / n
+    majority = max(pos_rate, 1 - pos_rate)
+    assert 0.35 < pos_rate < 0.65, "teacher labels should be balanced"
+    assert acc > majority + 0.1, (acc, majority)
+    rows2 = {r.doc_id: (r.y, r.pred)
+             for r in ml_quality_train(spark, SF).collect()}
+    assert rows == rows2
+
+
+def test_train_inference_pass_is_map_side(spark):
+    """The returned eval plan must score with inlined literal weights
+    over the cached base — no join, at most the cache-fill Exchange."""
+    from docwire_spark.ops.classify import ml_quality_train
+
+    plan = _plan(ml_quality_train(spark, SF))
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
