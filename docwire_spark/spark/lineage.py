@@ -205,9 +205,24 @@ class CheckpointedWriter:
         )
         return True
 
-    def read_merged(self, spark, key_col: str = "url") -> DataFrame:
+    def max_delta_seq(self) -> int:
+        """Highest committed delta sequence (0 = base only) — the
+        snapshot ids ``read_merged(as_of_seq=...)`` accepts."""
+        return max(
+            (e.get("delta_seq", 0) for e in self._log_entries()), default=0
+        )
+
+    def read_merged(self, spark, key_col: str = "url",
+                    as_of_seq: int | None = None) -> DataFrame:
         """Base ∪ committed deltas with latest-wins per key and
         tombstone filtering — the merge-on-read scan.
+
+        ``as_of_seq`` is snapshot time travel (Iceberg's VERSION AS OF,
+        emulated): only deltas with ``delta_seq <= as_of_seq``
+        participate, so ``0`` reads the base alone and
+        ``max_delta_seq()`` (the default) reads the latest state.
+        Snapshots older than the last ``compact()`` are expired — same
+        contract as Iceberg snapshot expiration.
 
         Scale shape: ONE shuffle on the key (the row_number window);
         delta files are tiny relative to base, and the window group
@@ -227,6 +242,8 @@ class CheckpointedWriter:
             (e for e in self._log_entries() if "delta_id" in e),
             key=lambda e: e["delta_seq"],
         )
+        if as_of_seq is not None:
+            deltas = [e for e in deltas if e["delta_seq"] <= as_of_seq]
         for e in deltas:
             d = spark.read.parquet(
                 os.path.join(self.out_dir, f"delta={e['delta_id']}")
@@ -249,6 +266,102 @@ class CheckpointedWriter:
             .filter((F.col("_rn") == 1) & (~F.col("_deleted")))
             .drop("_rn", "_seq", "_deleted", "_tie")
         )
+
+    def compact(self, spark, key_col: str = "url") -> dict:
+        """Materialize the merge-on-read view into a fresh base and
+        retire the deltas — Iceberg's background compaction, emulated.
+        Without it the delta list (and the per-scan reconcile cost)
+        grows with every recrawl batch forever; after it, scans are
+        pure base reads again.
+
+        Crash ordering (each step leaves a READABLE, consistent
+        table; a real cluster swaps this body for Iceberg's
+        rewrite_data_files + snapshot expiration):
+          1. stage the merged view, dynamic-partitioned by commit group
+          2. swap the group dirs in — readers now see the compacted
+             base PLUS the old deltas, which is the same view
+             (re-applying an already-applied upsert/tombstone over the
+             compacted base is idempotent under latest-wins)
+          3. atomically replace the commit log (deltas retired)
+          4. remove the delta dirs (pure garbage collection)
+        Returns stats; no-op when no deltas are committed."""
+        deltas = [e for e in self._log_entries() if "delta_id" in e]
+        if not deltas:
+            return {"compacted": False, "deltas_removed": 0}
+        merged = self.read_merged(spark, key_col=key_col)
+        if "bucket" not in merged.columns:
+            merged = merged.withColumn(
+                "bucket",
+                F.pmod(F.xxhash64(F.col(key_col)),
+                       F.lit(self.n_shards)).cast("int"),
+            )
+        df = merged.withColumn(
+            "commit_group",
+            F.pmod(F.col("bucket"), F.lit(self.groups)).cast("int"),
+        )
+        batch_id = "compact_" + uuid.uuid4().hex
+        staging_root = os.path.join(self.out_dir, f"_staging_{batch_id}")
+        df.write.mode("overwrite").partitionBy("commit_group").parquet(
+            staging_root
+        )
+        # build the post-compaction log before touching live dirs
+        new_log = []
+        n_total = 0
+        group_rows = {}
+        for g in range(self.groups):
+            staged = os.path.join(staging_root, f"commit_group={g}")
+            if not os.path.exists(staged):
+                os.makedirs(staged)
+            group_rows[g] = _parquet_row_count(staged)
+            n_total += group_rows[g]
+            new_log.append(
+                {
+                    "group": g,
+                    "buckets": list(range(g, self.n_shards, self.groups)),
+                    "n_rows": group_rows[g],
+                    "batch_id": batch_id,
+                }
+            )
+        new_log.append(
+            {
+                "compaction": True,
+                "batch_id": batch_id,
+                "deltas_retired": [e["delta_id"] for e in deltas],
+                "through_seq": max(e["delta_seq"] for e in deltas),
+                "n_rows": n_total,
+            }
+        )
+        tmp_log = self.log_path + ".compact"
+        with open(tmp_log, "w") as f:
+            for e in new_log:
+                f.write(json.dumps(e, sort_keys=True) + "\n")
+            f.flush()
+            os.fsync(f.fileno())
+        # step 2: swap group dirs (view stays equivalent throughout)
+        for g in range(self.groups):
+            staged = os.path.join(staging_root, f"commit_group={g}")
+            final = os.path.join(self.out_dir, f"group={g}")
+            if os.path.exists(final):
+                shutil.rmtree(final)
+            os.replace(staged, final)
+        shutil.rmtree(staging_root, ignore_errors=True)
+        # step 3: atomic log switch — deltas retired from the read path
+        os.replace(tmp_log, self.log_path)
+        # same-session readers hold a cached file listing for the
+        # rewritten group dirs; invalidate it or their next scan throws
+        # FAILED_READ_FILE on the replaced parquet parts
+        spark.catalog.refreshByPath(self.out_dir)
+        # step 4: GC the delta dirs
+        for e in deltas:
+            shutil.rmtree(
+                os.path.join(self.out_dir, f"delta={e['delta_id']}"),
+                ignore_errors=True,
+            )
+        return {
+            "compacted": True,
+            "deltas_removed": len(deltas),
+            "n_rows": n_total,
+        }
 
     def _log_entries(self) -> list:
         out = []

@@ -111,3 +111,92 @@ def test_group_resume_unaffected_by_delta_entries(spark, base_writer):
 
     pages = build_pages_df(spark, 40, n_hosts=8, seed=1)
     assert w.filter_uncommitted(pages).count() == 0
+
+
+def test_time_travel_snapshots(spark, base_writer):
+    """as_of_seq replays the table at each committed snapshot."""
+    w = base_writer
+    base = w.read(spark)
+    victim = base.orderBy("url").first()
+    w.write_delta(_delta_row(base, victim["url"], extracted_text="V1"),
+                  "tt-1")
+    w.write_delta(_delta_row(base, victim["url"], extracted_text="V2"),
+                  "tt-2")
+    assert w.max_delta_seq() == 2
+
+    def text_at(seq):
+        return (w.read_merged(spark, as_of_seq=seq)
+                .filter(F.col("url") == victim["url"])
+                .first()["extracted_text"])
+
+    assert text_at(0) == victim["extracted_text"]  # base only
+    assert text_at(1) == "V1"
+    assert text_at(2) == "V2"
+    # default = latest
+    assert (w.read_merged(spark).filter(F.col("url") == victim["url"])
+            .first()["extracted_text"]) == "V2"
+
+
+def test_compaction_preserves_view_and_retires_deltas(spark, base_writer):
+    w = base_writer
+    base = w.read(spark)
+    rows = base.orderBy("url").take(2)
+    w.write_delta(_delta_row(base, rows[0]["url"], extracted_text="NEW"),
+                  "c-up")
+    w.write_delta(
+        _delta_row(base, rows[1]["url"]).withColumn("_deleted", F.lit(True)),
+        "c-del")
+    before = {(r["url"], r["extracted_text"])
+              for r in w.read_merged(spark).collect()}
+
+    stats = w.compact(spark)
+    assert stats == {"compacted": True, "deltas_removed": 2,
+                     "n_rows": len(before)}
+    # view identical, now served from base files alone
+    after = {(r["url"], r["extracted_text"])
+             for r in w.read_merged(spark).collect()}
+    assert after == before
+    assert w.max_delta_seq() == 0
+    assert not [d for d in os.listdir(w.out_dir) if d.startswith("delta=")]
+    # plain base read equals the merged view post-compaction
+    plain = {(r["url"], r["extracted_text"])
+             for r in w.read(spark).collect()}
+    assert plain == before
+    # second compaction is a no-op
+    assert w.compact(spark) == {"compacted": False, "deltas_removed": 0}
+    # group commit log is fully rebuilt (resume contract intact)
+    assert w.committed_groups() == set(range(4))
+
+
+def test_compaction_midway_state_is_consistent(spark, base_writer):
+    """Step-2 invariant: compacted base + old deltas reconciles to the
+    same view (re-applying applied deltas is idempotent) — the state a
+    crash between dir swap and log switch leaves behind."""
+    w = base_writer
+    base = w.read(spark)
+    victim = base.orderBy("url").first()
+    w.write_delta(_delta_row(base, victim["url"], extracted_text="X"),
+                  "mid-1")
+    before = {(r["url"], r["extracted_text"])
+              for r in w.read_merged(spark).collect()}
+    import json
+
+    old_log = open(w.log_path).read()
+    # snapshot the delta rows BEFORE compaction deletes the old files
+    victim_rows = base.filter(F.col("url") == victim["url"]).collect()
+    w.compact(spark)
+    # resurrect the pre-compaction log over the compacted base, with
+    # the delta dir restored (simulates the crash window)
+    entries = [json.loads(ln) for ln in old_log.splitlines()]
+    delta_e = [e for e in entries if "delta_id" in e][0]
+    d = spark.createDataFrame(victim_rows, base.schema) \
+        .withColumn("extracted_text", F.lit("X")) \
+        .withColumn("_deleted", F.lit(False))
+    d.write.mode("overwrite").parquet(
+        os.path.join(w.out_dir, f"delta={delta_e['delta_id']}"))
+    with open(w.log_path, "w") as f:
+        f.write(old_log)
+    spark.catalog.refreshByPath(w.out_dir)
+    mid = {(r["url"], r["extracted_text"])
+           for r in w.read_merged(spark).collect()}
+    assert mid == before
