@@ -36,7 +36,8 @@ from .common import load, scratch_dir
 _URL = "'https://crawl' || CAST(doc_id % 13 AS {s}) || '.example/p/' || CAST(doc_id AS {s})"
 _HTML = (
     "'<html><head><title>t' || CAST(doc_id AS {s})"
-    " || '</title></head><body><p>' || text || '</p></body></html>'"
+    " || '</title></head><body><p>' || COALESCE(text, '')"
+    " || '</p></body></html>'"
 )
 _URL_SPARK, _URL_DUCK = _URL.format(s="STRING"), _URL.format(s="VARCHAR")
 _HTML_SPARK, _HTML_DUCK = _HTML.format(s="STRING"), _HTML.format(s="VARCHAR")

@@ -27,10 +27,15 @@ UDFs (no per-row Python)").
 
 from __future__ import annotations
 
+import datetime as _dt
 import os
 from typing import Iterable, Iterator
 
 import pandas as pd
+
+#: timestamp stamped on records whose warc_ts is NULL (WARC-Date is a
+#: mandatory header; epoch marks "unknown" without inventing a time)
+_EPOCH = _dt.datetime(1970, 1, 1)
 from pyspark.sql import DataFrame, SparkSession
 
 READ_SCHEMA = (
@@ -150,16 +155,22 @@ def _export(df: DataFrame, out_dir: str, n_files: int, kind: str,
         n = 0
         for pdf in batches:
             for row in pdf.itertuples(index=False):
-                ts = row.warc_ts.to_pydatetime()
+                # NULL-tolerant: one degenerate row (NULL html/text/ts/
+                # url) must never kill a 10^5-file export job — it
+                # becomes an empty-payload record instead.
+                ts = (row.warc_ts.to_pydatetime()
+                      if pd.notna(row.warc_ts) else _EPOCH)
                 if base_ts is None:
                     base_ts = ts
+                url = row.url if row.url is not None else ""
                 if kind == "warc":
-                    payload = bytes(row.html)
-                    records.append(build_response_record(row.url, ts, payload))
+                    payload = bytes(row.html) if row.html is not None else b""
+                    records.append(build_response_record(url, ts, payload))
                 else:
-                    payload = str(getattr(row, text_col)).encode("utf-8")
+                    v = getattr(row, text_col)
+                    payload = ("" if v is None else str(v)).encode("utf-8")
                     records.append(
-                        build_conversion_record(row.url, ts, payload)
+                        build_conversion_record(url, ts, payload)
                     )
                 n += 1
         if not n:
