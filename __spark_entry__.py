@@ -81,15 +81,17 @@ def _wrap(fn: Callable) -> Callable:
 # then the consolidated extraction suite (the byte-identity headline).
 # Everything not listed follows in module order.
 PRIORITY_WINDOW = [
-    # relational shell (6; events_by_type/top_parts_by_flag shapes are
-    # covered by orders_by_nation/pricing_summary — slots freed for the
-    # round-4 WARC container family)
+    # relational shell (4; the plain-agg shapes orders_by_nation/
+    # pricing_summary covered are the lowest-risk queries in the
+    # registry — slots ceded to round-4-new ops, which the r3 verdict
+    # ranks strictly higher than re-confirming unchanged green rows)
     "events_user_sessions", "orders_fulfillment", "source_salted_agg",
-    "orders_by_nation", "pricing_summary", "events_asof_attribution",
+    "events_asof_attribution",
     # WARC/WET container ingest+export + full crawl composition, new
-    # round 4 (3; wet_roundtrip is registry-covered — subsumed by
-    # warc_extract_wet's WET write+read leg)
-    "warc_roundtrip", "warc_cdx", "warc_extract_wet",
+    # round 4 (2; wet_roundtrip/warc_cdx are registry-covered — the
+    # container serialize/gzip/parse path they share is exercised by
+    # warc_roundtrip + warc_extract_wet's WET write+read leg)
+    "warc_roundtrip", "warc_extract_wet",
     # tokenizer training, new round 4 (1)
     "bpe_train",
     # dedup family (8; dedup_jaccard_exact is the labeled O(n^2)
@@ -101,14 +103,27 @@ PRIORITY_WINDOW = [
     "similarity_topk", "similarity_ann_lsh", "similarity_ann_ivf",
     "pagerank", "pack_sequences", "train_shuffle_export", "corpus_diff",
     "multimodal_meta", "multimodal_frames",
-    # sketches / layout / classify / chunking (6)
+    # sketches / layout / classify (5)
     "bloom_url_blocklist", "ml_quality_score", "hll_registers",
-    "zorder_layout", "cms_grid", "chunk_windows",
-    # one representative per already-green family (6)
-    "inverted_index", "kmeans_embeddings", "host_stats", "pii_redact",
-    "text_fingerprint_repetition", "stream_dedup_native",
-    # model-based curation, new round 4 (2)
-    "lm_perplexity", "dsir_select",
+    "zorder_layout", "cms_grid",
+    # one representative per remaining family so EVERY module keeps a
+    # driver row each round (test_registry family gate), preferring
+    # changed-this-round entries: pii_redact carries the r3-ADVICE
+    # regex fix, text_fingerprint_repetition is a new consolidated
+    # wrapper; inverted_index/chunk_windows/stream_dedup_native keep
+    # the index/chunking/stream_extract families covered (unchanged
+    # r3-driver-green kmeans_embeddings/host_stats ceded slots — the
+    # cluster family stays covered by semdedup, web by
+    # redirect_chains/robots_filter)
+    "pii_redact", "text_fingerprint_repetition", "inverted_index",
+    "chunk_windows", "stream_dedup_native",
+    # model-based curation + crawl ops + classifier training, new
+    # round 4 (8; c4_line_filter, wet_roundtrip, warc_cdx, bpe_encode,
+    # link_graph stay outside — each shares its family's in-window
+    # machinery: corpus_filter map pass, the WARC container path,
+    # bpe_train's merges, anchor_text's span recovery superset)
+    "lm_perplexity", "dsir_select", "semdedup", "ml_quality_train",
+    "redirect_chains", "anchor_text", "robots_filter",
     # consolidated extraction suite (9; extract_plain/extract_spans
     # follow after the window — their HTML kernel is driver-covered by
     # extract_main_content/rich_table/exports/dispatch, and both had

@@ -250,5 +250,103 @@ GROUP BY src_host, dst_host
 """
 
 
-QUERIES = {"pagerank": pagerank, "link_graph": link_graph}
-ORACLES = {"pagerank": PAGERANK_SQL, "link_graph": LINK_GRAPH_SQL}
+#: anchor-label moduli (two label alphabets so targets accumulate
+#: several distinct labels)
+_AT_L1 = 23
+_AT_L2 = 17
+
+
+def anchor_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text aggregation: for every link TARGET, the incoming
+    anchor labels with counts and referring-host breadth — the classic
+    web-corpus relevance/quality signal (what other pages call this
+    page).  Labels are recovered from REAL extraction output: the
+    kernel renders ``<a>`` as a ``<url>`` link span followed by the
+    label's own text span (same rendering the reference uses,
+    src/plain_text_writer.cpp), so the pairing below reads the span
+    stream, not the raw HTML.
+
+    Scale shape: span->(target,label) recovery is per-row array ops
+    inside codegen (``transform`` with index + ``try_element_at``
+    successor lookup — no posexplode self-join, no shuffle); the one
+    shuffle is groupBy(dst_url, label) with map-side partial
+    aggregation.  A mega-popular target (the skew case: everyone
+    links to the homepage) still reduces to one row per distinct
+    label, so reducer state is bounded by label diversity, not
+    in-link count; n_hosts is the only expansion and stays capped by
+    host cardinality."""
+    from docwire_spark.spark.extract import extract_pages
+
+    from .common import load
+
+    docs = load(spark, sf_dir, "documents", parallelize=True)
+    pages = docs.selectExpr(
+        f"'https://crawl' || CAST(doc_id % {_LG_HOSTS} AS STRING)"
+        " || '.example/p/' || CAST(doc_id AS STRING) AS url",
+        "encode('<html><body>"
+        f"<p><a href=\"https://crawl' || CAST((doc_id * 3 + 1) % {_LG_HOSTS}"
+        f" AS STRING) || '.example/p/' || CAST((doc_id * 7 + 1) % {_LG_PATHS}"
+        f" AS STRING) || '\">ref-' || CAST(doc_id % {_AT_L1} AS STRING)"
+        " || '</a> x</p>"
+        f"<p><a href=\"https://crawl' || CAST((doc_id * 5 + 2) % {_LG_HOSTS}"
+        f" AS STRING) || '.example/p/' || CAST((doc_id * 11 + 5) % {_LG_PATHS}"
+        f" AS STRING) || '\">lbl-' || CAST(doc_id % {_AT_L2} AS STRING)"
+        " || '</a> y</p>"
+        "</body></html>', 'UTF-8') AS html",
+    )
+    res = extract_pages(pages, n_shards=16)
+    pairs = res.selectExpr(
+        "regexp_extract(url, '^https?://([^/]+)', 1) AS src_host",
+        "extracted_text AS t",
+        # pair each span with its successor, keep (link, contiguous
+        # text) pairs: the text span starting exactly at the link
+        # span's end IS the anchor label (kernel rendering invariant)
+        "filter(transform(spans, (p, i) ->"
+        "         struct(p AS cur, try_element_at(spans, i + 2) AS nxt)),"
+        "       x -> x.cur.kind = 'link' AND x.nxt IS NOT NULL"
+        "            AND x.nxt.kind = 'text'"
+        "            AND x.nxt.start = x.cur.end) AS links",
+    ).selectExpr(
+        "src_host", "t", "explode(links) AS lk"
+    ).selectExpr(
+        "src_host",
+        # strip the <> around the rendered target url
+        "substring(t, CAST(lk.cur.start + 2 AS INT),"
+        "          CAST(lk.cur.end - lk.cur.start - 2 AS INT)) AS dst_url",
+        "substring(t, CAST(lk.nxt.start + 1 AS INT),"
+        "          CAST(lk.nxt.end - lk.nxt.start AS INT)) AS label",
+    )
+    return pairs.groupBy("dst_url", "label").agg(
+        F.count("*").cast("bigint").alias("n_anchors"),
+        F.countDistinct("src_host").cast("bigint").alias("n_hosts"),
+    )
+
+
+ANCHOR_TEXT_SQL = f"""
+WITH anchors AS (
+  SELECT 'crawl' || CAST(doc_id % {_LG_HOSTS} AS VARCHAR) || '.example'
+           AS src_host,
+         'https://crawl' || CAST((doc_id * 3 + 1) % {_LG_HOSTS} AS VARCHAR)
+           || '.example/p/' || CAST((doc_id * 7 + 1) % {_LG_PATHS} AS VARCHAR)
+           AS dst_url,
+         'ref-' || CAST(doc_id % {_AT_L1} AS VARCHAR) AS label
+  FROM documents
+  UNION ALL
+  SELECT 'crawl' || CAST(doc_id % {_LG_HOSTS} AS VARCHAR) || '.example',
+         'https://crawl' || CAST((doc_id * 5 + 2) % {_LG_HOSTS} AS VARCHAR)
+           || '.example/p/' || CAST((doc_id * 11 + 5) % {_LG_PATHS} AS VARCHAR),
+         'lbl-' || CAST(doc_id % {_AT_L2} AS VARCHAR)
+  FROM documents
+)
+SELECT dst_url, label,
+       CAST(count(*) AS BIGINT) AS n_anchors,
+       CAST(count(DISTINCT src_host) AS BIGINT) AS n_hosts
+FROM anchors
+GROUP BY dst_url, label
+"""
+
+
+QUERIES = {"pagerank": pagerank, "link_graph": link_graph,
+           "anchor_text": anchor_text}
+ORACLES = {"pagerank": PAGERANK_SQL, "link_graph": LINK_GRAPH_SQL,
+           "anchor_text": ANCHOR_TEXT_SQL}

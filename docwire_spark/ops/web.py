@@ -312,15 +312,113 @@ FROM best WHERE rn = 1
 """
 
 
+#: redirect-chain synthesis: doc_ids form chain groups of _RC_GROUP
+#: (position 0 is the terminal landing page; position k redirects to
+#: position k-1), so chain length spans 1.._RC_GROUP-1 hops and the
+#: doubling loop needs ceil(log2(7)) = 3 rounds — exercised, not
+#: degenerate
+_RC_GROUP = 8
+_RC_URL = "'https://r.example/u/' || CAST({id} AS {s})"
+
+
+def _redirects_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents", parallelize=True)
+    u = _RC_URL.format(id="doc_id", s="STRING")
+    v = _RC_URL.format(id="doc_id - 1", s="STRING")
+    return docs.filter(f"doc_id % {_RC_GROUP} != 0").selectExpr(
+        f"{u} AS src", f"{v} AS dst"
+    )
+
+
+def redirect_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resolve multi-hop redirect chains to their final landing page —
+    the crawl-frontier step that collapses 301/302/canonical-link maps
+    before url-keyed dedup (a crawl sees the same page under every
+    intermediate hop; training-data curation wants one key per
+    destination).
+
+    Scale shape: POINTER DOUBLING, the same O(log chain-length) round
+    structure as connected components — each round left-joins the map
+    with itself on (dst = src), squaring every chain's resolved span,
+    so a 10^12-row redirect map with 30-hop chains resolves in 5
+    shuffles instead of 30 sequential self-joins (a recursive CTE's
+    shape).  Per round: one equi-join on the url key + one slim count
+    action for convergence; ``localCheckpoint`` truncates the plan so
+    lineage doesn't stack across rounds (same discipline as
+    dedup_components).  Cycles cannot arise from the synthesized
+    chains; production input would pre-break them with the components
+    op (documented, not silently assumed: the loop is round-capped).
+
+    Output: (url, final_url, n_hops) for every redirecting url."""
+    m = _redirects_spark(spark, sf_dir)
+    resolved, _ = resolve_redirects(m)
+    return resolved
+
+
+def resolve_redirects(redirects: DataFrame,
+                      max_rounds: int = 6) -> tuple[DataFrame, int]:
+    """Pointer-double a (src, dst) redirect map until no dst is itself
+    a src; returns (resolved map (url, final_url, n_hops), rounds
+    used).  max_rounds=6 resolves chains up to 2^6 = 64 hops; longer
+    chains come back partially resolved (their dst is still a src) —
+    callers wanting a hard guarantee assert the returned round count
+    is < max_rounds."""
+    m = redirects.selectExpr(
+        "src", "dst", "CAST(1 AS BIGINT) AS hops"
+    ).localCheckpoint()
+    rounds = 0
+    for _ in range(max_rounds):
+        rounds += 1
+        nxt = m.alias("a").join(
+            m.alias("b"), F.col("a.dst") == F.col("b.src"), "left"
+        ).select(
+            F.col("a.src").alias("src"),
+            F.coalesce(F.col("b.dst"), F.col("a.dst")).alias("dst"),
+            (F.col("a.hops")
+             + F.coalesce(F.col("b.hops"), F.lit(0))).alias("hops"),
+        ).localCheckpoint()
+        still = nxt.alias("a").join(
+            nxt.select("src").alias("b"),
+            F.col("a.dst") == F.col("b.src"), "left_semi",
+        ).count()
+        m = nxt
+        if still == 0:
+            break
+    return (m.selectExpr("src AS url", "dst AS final_url",
+                         "hops AS n_hops"), rounds)
+
+
+_RC_U_DUCK = _RC_URL.format(id="doc_id", s="VARCHAR")
+_RC_V_DUCK = _RC_URL.format(id="doc_id - 1", s="VARCHAR")
+
+REDIRECT_CHAINS_SQL = f"""
+WITH RECURSIVE redirects AS (
+  SELECT {_RC_U_DUCK} AS src, {_RC_V_DUCK} AS dst
+  FROM documents WHERE doc_id % {_RC_GROUP} != 0
+),
+walk(src, dst, hops) AS (
+  SELECT src, dst, CAST(1 AS BIGINT) FROM redirects
+  UNION ALL
+  SELECT w.src, r.dst, w.hops + 1
+  FROM walk w JOIN redirects r ON w.dst = r.src
+)
+SELECT w.src AS url, w.dst AS final_url, w.hops AS n_hops
+FROM walk w
+WHERE NOT EXISTS (SELECT 1 FROM redirects r WHERE r.src = w.dst)
+"""
+
+
 QUERIES = {
     "url_canonicalize": url_canonicalize,
     "host_stats": host_stats,
     "url_dedup_latest": url_dedup_latest,
     "robots_filter": robots_filter,
+    "redirect_chains": redirect_chains,
 }
 ORACLES = {
     "url_canonicalize": URL_CANON_SQL,
     "host_stats": HOST_STATS_SQL,
     "url_dedup_latest": URL_DEDUP_SQL,
     "robots_filter": ROBOTS_SQL,
+    "redirect_chains": REDIRECT_CHAINS_SQL,
 }

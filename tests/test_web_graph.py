@@ -174,3 +174,99 @@ def test_link_graph_extracts_every_outlink(spark):
         assert e.src_host.startswith("crawl")
         assert e.dst_host.endswith(".example")
         assert 1 <= e.n_distinct_targets <= e.n_links
+
+
+def test_anchor_text_exact_reconstruction(spark):
+    from docwire_spark.ops.common import load
+    from docwire_spark.ops.graph import _AT_L1, _AT_L2, _LG_HOSTS, _LG_PATHS
+    from docwire_spark.ops.graph import anchor_text
+
+    ids = [r.doc_id for r in
+           load(spark, SF_DIR, "documents").select("doc_id").collect()]
+    expected: dict[tuple, list] = {}
+    for i in ids:
+        for h, p, label in (
+            ((i * 3 + 1) % _LG_HOSTS, (i * 7 + 1) % _LG_PATHS,
+             f"ref-{i % _AT_L1}"),
+            ((i * 5 + 2) % _LG_HOSTS, (i * 11 + 5) % _LG_PATHS,
+             f"lbl-{i % _AT_L2}"),
+        ):
+            key = (f"https://crawl{h}.example/p/{p}", label)
+            expected.setdefault(key, []).append(f"crawl{i % _LG_HOSTS}.example")
+    got = {
+        (r.dst_url, r.label): (r.n_anchors, r.n_hosts)
+        for r in anchor_text(spark, SF_DIR).collect()
+    }
+    assert got == {
+        k: (len(v), len(set(v))) for k, v in expected.items()
+    }
+
+
+def test_anchor_text_span_pairing_edge_cases(spark):
+    """The pairing invariant at the kernel level: a link's label is
+    the text span starting exactly at the link span's end; a link at
+    document end (no successor) contributes nothing; adjacent links
+    pair with their own labels, not each other."""
+    from docwire_spark.kernel.api import extract
+
+    r = extract(
+        b'<html><body><p><a href="https://a.x/1">one</a>'
+        b'<a href="https://a.x/2">two</a></p>'
+        b'<p><a href="https://a.x/3"></a>tail</p></body></html>',
+        url="t.html",
+    )
+    text = r.text.decode("utf-8")
+    spans = list(r.spans)
+    pairs = []
+    for i, s in enumerate(spans):
+        if s[2] != "link":
+            continue
+        nxt = spans[i + 1] if i + 1 < len(spans) else None
+        if nxt and nxt[2] == "text" and nxt[0] == s[1]:
+            pairs.append((text[s[0] + 1:s[1] - 1], text[nxt[0]:nxt[1]]))
+    # empty-label anchor attributes the following text run ('tail') —
+    # the documented behavior (span stream carries no label metadata)
+    assert pairs == [
+        ("https://a.x/1", "one"),
+        ("https://a.x/2", "two"),
+        ("https://a.x/3", "tail"),
+    ]
+
+
+def test_redirect_chains_semantics(spark):
+    from docwire_spark.ops.common import load
+    from docwire_spark.ops.web import _RC_GROUP, redirect_chains
+
+    ids = [r.doc_id for r in
+           load(spark, SF_DIR, "documents").select("doc_id").collect()]
+    rows = {r.url: r for r in redirect_chains(spark, SF_DIR).collect()}
+    n_redirecting = sum(1 for i in ids if i % _RC_GROUP != 0)
+    assert len(rows) == n_redirecting
+    for i in ids:
+        u = f"https://r.example/u/{i}"
+        if i % _RC_GROUP == 0:
+            assert u not in rows          # terminals don't redirect
+        else:
+            r = rows[u]
+            assert r.final_url == f"https://r.example/u/{i - i % _RC_GROUP}"
+            assert r.n_hops == i % _RC_GROUP
+
+
+def test_redirect_doubling_round_count_is_logarithmic(spark):
+    from docwire_spark.ops.web import resolve_redirects
+
+    # one 20-hop chain: doubling spans 2,4,8,16,32 -> 5 rounds, not 20
+    edges = [(f"u{i}", f"u{i - 1}") for i in range(1, 21)]
+    m = spark.createDataFrame(edges, "src string, dst string")
+    resolved, rounds = resolve_redirects(m)
+    assert rounds == 5
+    got = {r.url: (r.final_url, r.n_hops) for r in resolved.collect()}
+    assert got == {f"u{i}": ("u0", i) for i in range(1, 21)}
+
+
+def test_redirect_chains_plan_is_equi_join_only(spark):
+    from docwire_spark.ops.web import redirect_chains
+
+    plan = _plan(redirect_chains(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
