@@ -95,10 +95,12 @@ PRIORITY_WINDOW = [
     # tokenizer training, new round 4 (1)
     "bpe_train",
     # dedup family (8; dedup_jaccard_exact is the labeled O(n^2)
-    # ground-truth validator — kept in the registry, not the window)
+    # ground-truth validator and dedup_chunk_exact's chunk-key
+    # machinery is exercised by dedup_chunk_rewrite — both kept in
+    # the registry, not the window)
     "dedup_exact", "dedup_minhash_lsh",
     "dedup_simhash", "dedup_simhash_pairs", "dedup_embedding",
-    "dedup_chunk_exact", "dedup_chunk_rewrite", "dedup_components",
+    "dedup_chunk_rewrite", "dedup_components", "dedup_canonical_select",
     # similarity / graph / packing / diff / multimodal (9)
     "similarity_topk", "similarity_ann_lsh", "similarity_ann_ivf",
     "pagerank", "pack_sequences", "train_shuffle_export", "corpus_diff",

@@ -1224,7 +1224,7 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: receiving node — the component min is smaller than every member,
 #: so it always survives the pruning, while the label fan-out that
 #: made the naive all-pairs reach quadratic per clique is cut.
-DEDUP_COMPONENTS_SQL = f"""
+_COMPONENTS_CTES = f"""
 WITH RECURSIVE
 pairs AS MATERIALIZED ({DEDUP_MINHASH_SQL}),
 sym AS MATERIALIZED (
@@ -1239,11 +1239,75 @@ reach AS (
   WHERE r.label < s.v
 ),
 comp AS (SELECT node, min(label) AS component_id FROM reach GROUP BY node)
+"""
+
+DEDUP_COMPONENTS_SQL = f"""{_COMPONENTS_CTES}
 SELECT d.doc_id,
        coalesce(c.component_id, d.doc_id) AS component_id,
        CAST(CASE WHEN coalesce(c.component_id, d.doc_id) = d.doc_id
             THEN 1 ELSE 0 END AS INT) AS keep_flag
 FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+"""
+
+
+def dedup_canonical_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-representative selection: within every near-duplicate
+    cluster, keep the HIGHEST-QUALITY member instead of the arbitrary
+    min-id one — the policy step real curation runs after clustering
+    (near-dup web pages differ by truncation, boilerplate residue,
+    pagination; keeping the longest/cleanest copy beats keeping the
+    first).  Quality here is the deterministic (n_chars, -doc_id)
+    order (longest wins, stable tie-break); production swaps in any
+    per-doc score (ml_quality_score, lm_perplexity) without changing
+    the plan.
+
+    Scale shape: reuses dedup_components' cluster labels, joins the
+    slim (doc_id, n_chars) quality table, then ONE window over
+    component_id — per-group state is the cluster size, and LSH
+    clusters are capped by construction (a cluster is a set of
+    verified near-dups, not a hash bucket), so no skew pass is
+    needed; the keep-everything singleton majority flows through the
+    same window untouched."""
+    from pyspark.sql import Window
+
+    comp = dedup_components(spark, sf_dir).select("doc_id", "component_id")
+    docs = load(spark, sf_dir, "documents").selectExpr(
+        "doc_id", "CAST(coalesce(n_chars, -1) AS BIGINT) AS quality"
+    )
+    w = (
+        Window.partitionBy("component_id")
+        .orderBy(F.desc("quality"), F.asc("doc_id"))
+    )
+    ranked = comp.join(docs, "doc_id").select(
+        "doc_id", "component_id", "quality",
+        F.row_number().over(w).alias("rn"),
+        F.first("doc_id").over(w).alias("canonical_doc_id"),
+    )
+    return ranked.select(
+        "doc_id", "component_id", "canonical_doc_id",
+        (F.col("rn") == 1).cast("int").alias("is_canonical"),
+    )
+
+
+DEDUP_CANONICAL_SQL = f"""{_COMPONENTS_CTES},
+labeled AS (
+  SELECT d.doc_id,
+         coalesce(c.component_id, d.doc_id) AS component_id,
+         CAST(coalesce(d.n_chars, -1) AS BIGINT) AS quality
+  FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+),
+ranked AS (
+  SELECT doc_id, component_id,
+         row_number() OVER (PARTITION BY component_id
+                            ORDER BY quality DESC, doc_id) AS rn,
+         first_value(doc_id) OVER (PARTITION BY component_id
+                                   ORDER BY quality DESC, doc_id)
+           AS canonical_doc_id
+  FROM labeled
+)
+SELECT doc_id, component_id, canonical_doc_id,
+       CAST(CASE WHEN rn = 1 THEN 1 ELSE 0 END AS INT) AS is_canonical
+FROM ranked
 """
 
 
@@ -1257,6 +1321,7 @@ QUERIES = {
     "dedup_chunk_exact": dedup_chunk_exact,
     "dedup_chunk_rewrite": dedup_chunk_rewrite,
     "dedup_components": dedup_components,
+    "dedup_canonical_select": dedup_canonical_select,
 }
 
 ORACLES = {
@@ -1269,4 +1334,5 @@ ORACLES = {
     "dedup_chunk_exact": DEDUP_CHUNK_SQL,
     "dedup_chunk_rewrite": DEDUP_CHUNK_REWRITE_SQL,
     "dedup_components": DEDUP_COMPONENTS_SQL,
+    "dedup_canonical_select": DEDUP_CANONICAL_SQL,
 }

@@ -78,3 +78,33 @@ def test_dedup_components_keeps_one_per_cluster(spark, tmp_path):
     from docwire_spark.ops.common import release_persisted
 
     release_persisted()
+
+
+def test_canonical_select_keeps_best_member_per_cluster(spark):
+    import os
+    from collections import defaultdict
+
+    from docwire_spark.ops.common import load
+    from docwire_spark.ops.dedup import dedup_canonical_select
+
+    sf = os.path.join(
+        os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata"), "sf0.001"
+    )
+    rows = dedup_canonical_select(spark, sf).collect()
+    quality = {
+        r.doc_id: (r.n_chars if r.n_chars is not None else -1)
+        for r in load(spark, sf, "documents")
+        .select("doc_id", "n_chars").collect()
+    }
+    assert len(rows) == len(quality)
+    by_comp = defaultdict(list)
+    for r in rows:
+        by_comp[r.component_id].append(r)
+    for cid, members in by_comp.items():
+        canon = [r for r in members if r.is_canonical == 1]
+        assert len(canon) == 1, cid
+        # the winner maximizes (quality, -doc_id) over the cluster
+        best = min(members, key=lambda r: (-quality[r.doc_id], r.doc_id))
+        assert canon[0].doc_id == best.doc_id == canon[0].canonical_doc_id
+        # every member agrees on the canonical id
+        assert {r.canonical_doc_id for r in members} == {best.doc_id}
