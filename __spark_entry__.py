@@ -94,12 +94,13 @@ PRIORITY_WINDOW = [
     "warc_roundtrip", "warc_extract_wet",
     # tokenizer training, new round 4 (1)
     "bpe_train",
-    # dedup family (8; dedup_jaccard_exact is the labeled O(n^2)
-    # ground-truth validator and dedup_chunk_exact's chunk-key
-    # machinery is exercised by dedup_chunk_rewrite — both kept in
-    # the registry, not the window)
+    # dedup family (7; dedup_jaccard_exact is the labeled O(n^2)
+    # ground-truth validator, dedup_chunk_exact's chunk-key machinery
+    # is exercised by dedup_chunk_rewrite, and dedup_simhash's
+    # fingerprint kernel is exercised by dedup_simhash_pairs — all
+    # kept in the registry, not the window)
     "dedup_exact", "dedup_minhash_lsh",
-    "dedup_simhash", "dedup_simhash_pairs", "dedup_embedding",
+    "dedup_simhash_pairs", "dedup_embedding",
     "dedup_chunk_rewrite", "dedup_components", "dedup_canonical_select",
     # similarity / graph / packing / diff / multimodal (9)
     "similarity_topk", "similarity_ann_lsh", "similarity_ann_ivf",
@@ -126,6 +127,7 @@ PRIORITY_WINDOW = [
     # bpe_train's merges, anchor_text's span recovery superset)
     "lm_perplexity", "dsir_select", "semdedup", "ml_quality_train",
     "redirect_chains", "anchor_text", "robots_filter",
+    "frontier_schedule",
     # consolidated extraction suite (9; extract_plain/extract_spans
     # follow after the window — their HTML kernel is driver-covered by
     # extract_main_content/rich_table/exports/dispatch, and both had

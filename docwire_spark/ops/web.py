@@ -408,12 +408,112 @@ WHERE NOT EXISTS (SELECT 1 FROM redirects r WHERE r.src = w.dst)
 """
 
 
+#: frontier politeness parameters (DEPTH=8 so the synthesized corpus
+#: — ~13.5 candidates/host — actually exercises the drop path)
+FRONTIER_DEPTH = 8      #: fetches per host per crawl cycle
+FRONTIER_CRAWLERS = 8   #: politeness shards (all of a host on one)
+_FR_HOSTS = 37
+_FR_HOST = "'h' || CAST(doc_id % {m} AS {s}) || '.example'".replace(
+    "{m}", str(_FR_HOSTS)
+)
+_FR_URL = "'https://' || host || '/f/' || CAST(doc_id AS {s})"
+
+
+def frontier_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-frontier scheduling under politeness: every candidate URL
+    gets (crawler, fetch_round) such that each host is fetched by ONE
+    crawler (politeness delays are enforceable only if a host never
+    spans workers) one URL per round in priority order, and each
+    host's queue is capped at FRONTIER_DEPTH per cycle (at 1 req/s/
+    host politeness a cycle physically can't drain more — deep queues
+    are dead weight, so capping is semantics, not approximation).
+
+    Scale shape: the naive plan is one window over host — and the
+    pathological host with 10^9 candidates would sort them all in one
+    task.  Instead an EXACT two-phase top-K: phase 1 windows over
+    (host, input-partition-id) — a skew-free key by construction —
+    and keeps each partition's local top-DEPTH; phase 2 windows over
+    host on the survivors, at most DEPTH x n_partitions rows per host
+    (the global top-DEPTH is a subset of the union of local
+    top-DEPTHs).  Same decomposition as the salted agg, applied to a
+    ranking.  Crawler assignment is the bloom-family md5 fold —
+    cross-engine exact, so the oracle replays it."""
+    from pyspark.sql import Window
+
+    from .bloom import hash_expr
+
+    docs = load(spark, sf_dir, "documents", parallelize=True)
+    cand = docs.selectExpr(
+        _FR_HOST.format(s="STRING") + " AS host", "doc_id"
+    ).selectExpr(
+        "host",
+        _FR_URL.format(s="STRING") + " AS url",
+    ).selectExpr(
+        "host", "url",
+        f"{hash_expr('url', 0, 1000)} AS priority",
+        f"{hash_expr('host', 1, FRONTIER_CRAWLERS)} AS crawler",
+    )
+    w1 = (
+        Window.partitionBy("host", F.spark_partition_id())
+        .orderBy(F.desc("priority"), F.asc("url"))
+    )
+    local = cand.withColumn("lrn", F.row_number().over(w1)).filter(
+        F.col("lrn") <= FRONTIER_DEPTH
+    ).drop("lrn")
+    w2 = Window.partitionBy("host").orderBy(
+        F.desc("priority"), F.asc("url")
+    )
+    return (
+        local.withColumn("fetch_round",
+                         F.row_number().over(w2).cast("bigint"))
+        .filter(F.col("fetch_round") <= FRONTIER_DEPTH)
+        .select("url", "host", "crawler", "priority", "fetch_round")
+    )
+
+
+_FR_HOST_DUCK = _FR_HOST.format(s="VARCHAR")
+_FR_URL_DUCK = _FR_URL.format(s="VARCHAR")
+
+FRONTIER_SQL = f"""
+WITH cand AS (
+  SELECT host, {_FR_URL_DUCK} AS url FROM (
+    SELECT {_FR_HOST_DUCK} AS host, doc_id FROM documents
+  )
+),
+scored AS (
+  SELECT url, host,
+         {{crawler}} AS crawler,
+         {{priority}} AS priority
+  FROM cand
+),
+ranked AS (
+  SELECT url, host, crawler, priority,
+         CAST(row_number() OVER (PARTITION BY host
+                                 ORDER BY priority DESC, url) AS BIGINT)
+           AS fetch_round
+  FROM scored
+)
+SELECT url, host, crawler, priority, fetch_round
+FROM ranked WHERE fetch_round <= {FRONTIER_DEPTH}
+"""
+
+
+def _frontier_sql() -> str:
+    from .bloom import hash_expr
+
+    return FRONTIER_SQL.format(
+        crawler=hash_expr("host", 1, FRONTIER_CRAWLERS),
+        priority=hash_expr("url", 0, 1000),
+    )
+
+
 QUERIES = {
     "url_canonicalize": url_canonicalize,
     "host_stats": host_stats,
     "url_dedup_latest": url_dedup_latest,
     "robots_filter": robots_filter,
     "redirect_chains": redirect_chains,
+    "frontier_schedule": frontier_schedule,
 }
 ORACLES = {
     "url_canonicalize": URL_CANON_SQL,
@@ -421,4 +521,5 @@ ORACLES = {
     "url_dedup_latest": URL_DEDUP_SQL,
     "robots_filter": ROBOTS_SQL,
     "redirect_chains": REDIRECT_CHAINS_SQL,
+    "frontier_schedule": _frontier_sql(),
 }
