@@ -74,6 +74,9 @@ HEADLINE = [
     "host_stats",
     "url_dedup_latest",
     "robots_filter",
+    "redirect_chains",
+    "anchor_text",
+    "frontier_schedule",
     "corpus_diff",
     "pagerank",
     "link_graph",
