@@ -39,19 +39,44 @@ def _sort_elements(elements):
     """Replicates the std::multiset ordering with the adaptive-tolerance
     comparator via insertion sort (the comparator is not a strict weak
     order globally, so a plain key sort can differ; multiset insertion
-    order must be reproduced)."""
+    order must be reproduced).
+
+    The comparator keys (y, x, 0.40 * characteristic height) are pure
+    per-element functions, so they are computed once and the comparator
+    inlined over the cached triples — identical decisions to
+    ``_less``, ~2x fewer Python ops per comparison on dense pages."""
     result = []
+    res_keys = []  # parallel (y, x, ch40) triples
     for el in elements:
-        lo, hi = 0, len(result)
+        y, x = el[2], el[1]
+        ch40 = _characteristic_height(el) * 0.40
         # multiset::insert places equal elements after existing ones:
         # find first position where result[pos] > el (el < result[pos])
         # scanning upper bound with the comparator
         pos = len(result)
-        for i, other in enumerate(result):
-            if _less(el, other):
+        for i, (oy, ox, och40) in enumerate(res_keys):
+            # inline _less((y, x, ch40), (oy, ox, och40))
+            if y is None:
+                continue  # el < other is False for None y_l
+            if oy is None:
+                pos = i
+                break
+            tol = ch40 if ch40 > och40 else och40
+            if tol < 2.0:
+                tol = 2.0
+            d = y - oy
+            if d > tol or d < -tol:
+                if y > oy:
+                    pos = i
+                    break
+                continue
+            if x is None:
+                continue
+            if ox is None or x < ox:
                 pos = i
                 break
         result.insert(pos, el)
+        res_keys.insert(pos, (y, x, ch40))
     return result
 
 
