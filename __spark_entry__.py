@@ -87,20 +87,17 @@ PRIORITY_WINDOW = [
     # ranks strictly higher than re-confirming unchanged green rows)
     "events_user_sessions", "orders_fulfillment", "source_salted_agg",
     "events_asof_attribution",
-    # WARC/WET container ingest+export + full crawl composition, new
-    # round 4 (2; wet_roundtrip/warc_cdx are registry-covered — the
-    # container serialize/gzip/parse path they share is exercised by
-    # warc_roundtrip + warc_extract_wet's WET write+read leg)
-    "warc_roundtrip", "warc_extract_wet",
-    # tokenizer training, new round 4 (1)
-    "bpe_train",
-    # dedup family (7; dedup_jaccard_exact is the labeled O(n^2)
-    # ground-truth validator, dedup_chunk_exact's chunk-key machinery
-    # is exercised by dedup_chunk_rewrite, and dedup_simhash's
-    # fingerprint kernel is exercised by dedup_simhash_pairs — all
-    # kept in the registry, not the window)
+    # WARC/WET container family, now COMPLETE in-window (4; VERDICT r4
+    # #1: wet_roundtrip + warc_cdx had never received a driver row)
+    "warc_roundtrip", "warc_extract_wet", "wet_roundtrip", "warc_cdx",
+    # tokenizer training + encoding (2; bpe_encode never
+    # driver-verified before r5)
+    "bpe_train", "bpe_encode",
+    # dedup family (8; dedup_jaccard_exact is the labeled O(n^2)
+    # ground-truth validator and stays registry-only; dedup_chunk_exact
+    # joins the window — never driver-verified before r5)
     "dedup_exact", "dedup_minhash_lsh",
-    "dedup_simhash_pairs", "dedup_embedding",
+    "dedup_simhash_pairs", "dedup_embedding", "dedup_chunk_exact",
     "dedup_chunk_rewrite", "dedup_components", "dedup_canonical_select",
     # similarity / graph / packing / diff / multimodal (9)
     "similarity_topk", "similarity_ann_lsh", "similarity_ann_ivf",
@@ -120,22 +117,20 @@ PRIORITY_WINDOW = [
     # redirect_chains/robots_filter)
     "pii_redact", "text_fingerprint_repetition", "inverted_index",
     "chunk_windows", "stream_dedup_native",
-    # model-based curation + crawl ops + classifier training, new
-    # round 4 (8; c4_line_filter, wet_roundtrip, warc_cdx, bpe_encode,
-    # link_graph stay outside — each shares its family's in-window
-    # machinery: corpus_filter map pass, the WARC container path,
-    # bpe_train's merges, anchor_text's span recovery superset)
+    # model-based curation + crawl ops + classifier training (10;
+    # c4_line_filter and link_graph join the window — never
+    # driver-verified before r5, completing the 93/93 union with the
+    # WARC/bpe/chunk additions above per VERDICT r4 next-round #1)
     "lm_perplexity", "dsir_select", "semdedup", "ml_quality_train",
     "redirect_chains", "anchor_text", "robots_filter",
-    "frontier_schedule",
-    # consolidated extraction suite (9; extract_plain/extract_spans
-    # follow after the window — their HTML kernel is driver-covered by
-    # extract_main_content/rich_table/exports/dispatch, and both had
-    # green driver rows in r1-r3)
-    "extract_dispatch", "extract_main_content", "extract_rich_table",
-    "extract_exports", "extract_tree", "extract_ooxml_roundtrip",
-    "extract_odf_iwork_roundtrip", "extract_ms_binary_roundtrip",
-    "extract_docstream_roundtrip",
+    "frontier_schedule", "c4_line_filter", "link_graph",
+    # extraction representatives (3; the 6 ceded roundtrip slots —
+    # rich_table/tree/ooxml/odf_iwork/ms_binary/docstream — are all
+    # multi-round driver-green (r2-r4) and their kernels stay
+    # pytest-golden-gated every round; extract_dispatch keeps the
+    # sniff+dispatch path, extract_main_content the HTML kernel,
+    # extract_exports the renderer byte-identity contract)
+    "extract_dispatch", "extract_main_content", "extract_exports",
 ]
 
 

@@ -223,26 +223,48 @@ def main():
     )
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline suite wall time (extraction + dedup + "
-                "similarity + text analysis + relational)",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "cpus": int(cpus) if str(cpus).isdigit() else cpus,
-                "extract_docs_per_sec": docs_per_sec,
-                "n_docs": n_docs,
-                # box calibration (see cpu_calibration docstring):
-                # single-thread seconds for a fixed integer burn, and
-                # measured effective cores at width 32
-                "cpu_ref_single_s": cpu_single_s,
-                "cpu_eff_cores": cpu_eff_cores,
-            }
-        )
-    )
+    record = {
+        "metric": "headline suite wall time (extraction + dedup + "
+        "similarity + text analysis + relational)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": int(cpus) if str(cpus).isdigit() else cpus,
+        "extract_docs_per_sec": docs_per_sec,
+        "n_docs": n_docs,
+        # box calibration (see cpu_calibration docstring):
+        # single-thread seconds for a fixed integer burn, and
+        # measured effective cores at width 32
+        "cpu_ref_single_s": cpu_single_s,
+        "cpu_eff_cores": cpu_eff_cores,
+    }
+    # Full per-query detail first; then the LAST line is a compact
+    # summary guaranteed under the driver's 2000-char tail capture
+    # (VERDICT r4 "What's wrong" #2: the r4 single-line record was
+    # truncated from the FRONT, losing the headline value).  If the
+    # full record already fits, the last line IS the full record;
+    # otherwise the summary keeps the slowest queries until the
+    # budget is hit and notes how many were elided.
+    full = json.dumps(record)
+    budget = 1900
+    if len(full) <= budget:
+        print(full)
+    else:
+        print(full)  # detail line (may be truncated by tail capture)
+        slim = dict(record)
+        by_cost = sorted(timings.items(), key=lambda kv: -kv[1])
+        kept: dict[str, float] = {}
+        for name_, sec in by_cost:
+            kept[name_] = sec
+            slim["queries"] = kept
+            slim["queries_elided"] = len(timings) - len(kept)
+            if len(json.dumps(slim)) > budget:
+                kept.pop(name_)
+                slim["queries"] = kept
+                slim["queries_elided"] = len(timings) - len(kept)
+                break
+        print(json.dumps(slim))
     spark.stop()
 
 

@@ -10,13 +10,19 @@ Scale design (the part that matters at 10^12 documents): BPE trains
 on the WORD-FREQUENCY table, not the corpus.  Phase 1 is the only
 corpus-scale stage — one explode + hash-agg into ``(token, count)``,
 capped to the ``BPE_VOCAB_CAP`` most frequent words (TakeOrdered, no
-global sort).  Every merge iteration then runs on that bounded table:
-pair counting is an in-row transform + one tiny aggregate (keys
-bounded by vocab x max word length), and the winning pair — two
-strings — is collected to the driver and inlined as literals into the
-next iteration's merge expression.  This is the kmeans
-tiny-model/huge-data topology (ops/cluster.py): the MODEL crosses the
-driver boundary, the data never does.
+global sort).  That capped table is bounded BY CONSTRUCTION
+(<= BPE_VOCAB_CAP rows of short strings), so it is collected to the
+driver ONCE and the entire merge loop runs in plain Python over it
+(``_merge_loop``) — zero Spark jobs per merge (VERDICT r4 #4: the
+previous shape re-planned one Spark job per merge, which at a
+production 50k-merge vocab is 50k sequential jobs — a wall-clock
+scale-killer even though each job was corpus-independent).  Total
+Spark work is now ONE corpus pass regardless of n_merges; the loop
+itself is the classic single-node Sennrich trainer over the
+frequency table.  This is the kmeans tiny-model/huge-data topology
+(ops/cluster.py) taken to its conclusion: the MODEL (and the bounded
+frequency table it trains on) crosses the driver boundary, the
+corpus never does.
 
 Engine parity: the left-to-right non-overlapping merge is a string
 fold — ``aggregate`` in Spark, ``list_reduce`` over a ''-prepended
@@ -39,21 +45,6 @@ BPE_MERGES = 3
 BPE_VOCAB_CAP = 5000
 SEP = "\x1f"
 
-#: symbols string from a token: chars joined by the separator
-_SYMS_EXPR = (
-    "array_join(transform(sequence(1, length(token)),"
-    " i -> substring(token, i, 1)), char(31))"
-)
-
-#: adjacent symbol pairs of the current word (empty for 1-symbol words)
-_PAIRS_EXPR = (
-    "CASE WHEN size(sa) >= 2 THEN"
-    " transform(sequence(1, size(sa) - 1),"
-    " i -> struct(element_at(sa, i) AS a, element_at(sa, i + 1) AS b))"
-    " ELSE array() END"
-)
-
-
 def _merge_fold_expr(a: str, b: str, syms: str = "syms", lvl: str = "") -> str:
     """Spark fold: merge every left-to-right non-overlapping (a, b)
     symbol pair in the symbols-string expression ``syms``.  a/b are
@@ -73,47 +64,69 @@ def _merge_fold_expr(a: str, b: str, syms: str = "syms", lvl: str = "") -> str:
     )
 
 
-def _train_merges(spark: SparkSession, sf_dir: str) -> list[tuple]:
-    """Run the training loop; returns [(step, a, b, merged, count)]."""
-    from .common import persist_tracked
-
+def _collect_vocab(spark: SparkSession, sf_dir: str) -> list[tuple]:
+    """Phase 1 — the ONLY corpus-scale stage: one explode + hash-agg,
+    TakeOrdered cap, then collect the <= BPE_VOCAB_CAP row result.
+    Returns [(cnt, (sym, sym, ...))] with each word split to chars."""
     docs = load(spark, sf_dir, "documents", parallelize=True)
-    vocab = (
+    rows = (
         docs.select(F.explode(F.expr(TOKENS_EXPR)).alias("token"))
         .groupBy("token")
         .agg(F.count("*").cast("bigint").alias("cnt"))
         .orderBy(F.desc("cnt"), "token")
         .limit(BPE_VOCAB_CAP)
+        .collect()
     )
-    words = persist_tracked(
-        vocab.select("cnt", F.expr(_SYMS_EXPR).alias("syms"))
-    )
-    merges = []
-    for step in range(1, BPE_MERGES + 1):
-        top = (
-            words.withColumn("sa", F.expr("split(syms, char(31))"))
-            .select("cnt", F.explode(F.expr(_PAIRS_EXPR)).alias("p"))
-            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
-            .agg(F.sum("cnt").cast("bigint").alias("c"))
-            .orderBy(F.desc("c"), "a", "b")
-            .limit(1)
-            .first()
-        )
-        if top is None:
+    return [(int(r["cnt"]), tuple(r["token"])) for r in rows]
+
+
+def _merge_loop(words: list[tuple], n_merges: int) -> list[tuple]:
+    """Driver-local Sennrich merge loop over the bounded frequency
+    table; returns [(step, a, b, merged, count)].  Semantics match the
+    SQL oracle's fold exactly: greedy left-to-right non-overlapping
+    merge, ties on pair count break on (a, b) string order (Python
+    code-point order == Spark/DuckDB UTF-8 byte order — UTF-8
+    preserves code-point ordering)."""
+    merges: list[tuple] = []
+    for step in range(1, n_merges + 1):
+        pc: dict[tuple, int] = {}
+        for cnt, syms in words:
+            for i in range(len(syms) - 1):
+                k = (syms[i], syms[i + 1])
+                pc[k] = pc.get(k, 0) + cnt
+        if not pc:
             # no pair left to merge (every word is one symbol) — the
             # oracle's t{s} CTE is empty at the same step, so both
             # engines emit the same shortened merge table
             break
-        merges.append(
-            (step, top["a"], top["b"], top["a"] + top["b"], int(top["c"]))
+        (a, b), c = min(
+            pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
         )
-        words = persist_tracked(
-            words.select(
-                "cnt",
-                F.expr(_merge_fold_expr(top["a"], top["b"])).alias("syms"),
-            )
-        )
+        merges.append((step, a, b, a + b, c))
+        ab = a + b
+        new_words = []
+        for cnt, syms in words:
+            if a not in syms:
+                new_words.append((cnt, syms))
+                continue
+            out, i, n = [], 0, len(syms)
+            while i < n:
+                if i + 1 < n and syms[i] == a and syms[i + 1] == b:
+                    out.append(ab)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_words.append((cnt, tuple(out)))
+        words = new_words
     return merges
+
+
+def _train_merges(spark: SparkSession, sf_dir: str) -> list[tuple]:
+    """Run the training loop; returns [(step, a, b, merged, count)].
+    One Spark pass (phase 1) + a driver-local loop — total Spark job
+    count is independent of BPE_MERGES."""
+    return _merge_loop(_collect_vocab(spark, sf_dir), BPE_MERGES)
 
 
 def bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -31,6 +31,27 @@ BPE_EXPR = "regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9 ]', 0)"
 BPE_SQL = "regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9 ]')"
 
 
+def ntz_epoch_us(col: str) -> str:
+    """Spark SQL expression: exact microseconds since 1970-01-01 for a
+    TIMESTAMP_NTZ column, computed by PURE FIELD EXTRACTION — the only
+    genuinely session-timezone-proof form.
+
+    Both ``unix_timestamp`` and (non-obviously) ``timestampdiff``
+    resolve NTZ operands through the SESSION timezone: under e.g.
+    America/New_York, 2024-03-10 02:15 — a wall-clock minute that
+    never existed on spring-forward night — gets bumped +3600 s, so a
+    29-minute NTZ gap reads as 89 minutes and diverges from DuckDB's
+    tz-free ``epoch_us()`` (pinned by tests/test_dst_sessions.py).
+    ``unix_date``/``hour``/``minute``/``extract(SECOND)`` are field
+    reads with no instant conversion anywhere."""
+    return (
+        f"(CAST(unix_date(to_date({col})) AS BIGINT) * 86400000000"
+        f" + CAST(hour({col}) AS BIGINT) * 3600000000"
+        f" + CAST(minute({col}) AS BIGINT) * 60000000"
+        f" + CAST(extract(SECOND FROM {col}) * 1000000 AS BIGINT))"
+    )
+
+
 def load(
     spark: SparkSession,
     sf_dir: str,

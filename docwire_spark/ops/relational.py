@@ -189,32 +189,42 @@ def events_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     within the partition — the canonical scale shape for event-stream
     sessionization.
 
-    Oracle-stability design (round-3 fix for the one flaky hash):
+    Oracle-stability design (round-3 fix for the one flaky hash,
+    hardened round 5 per VERDICT r4 "What's wrong" #1):
     - the window orders by (ts, event_id) so ties on ts are
       deterministic on any corpus;
     - ``value`` is scaled to an exact BIGINT in 1e-4 units via
       ``floor(value*10000 + 0.5)`` (identical IEEE double semantics
       in Spark and DuckDB), summed as integers (exact and
-      order-independent), and rounded to cents once at the end with
-      the same floor(+0.5) half-up — no round(sum(double)) whose
-      HALF_UP-of-decimal-repr vs round-binary-double behaviour
-      differs across engines."""
+      order-independent), and the OUTPUT is exact integer cents
+      (``total_value_cents BIGINT``) — no reconstructed DOUBLE whose
+      repr the driver would hash;
+    - the session gap is computed tz-free in exact MICROSECONDS via
+      field extraction (common.ntz_epoch_us — ``unix_timestamp`` and
+      even ``timestampdiff`` interpret the NTZ parquet timestamp in
+      the *session* timezone and diverge from DuckDB's tz-free
+      ``epoch_us()`` across a DST transition; µs also removes the
+      per-timestamp second-truncation that made boundary gaps
+      engine-dependent).  Pinned by tests/test_dst_sessions.py."""
     from pyspark.sql import Window
+
+    from .common import ntz_epoch_us
 
     ev = load(spark, sf_dir, "events").select(
         "user_id",
         "ts",
         "event_id",
+        F.expr(ntz_epoch_us("ts")).alias("ts_us"),
         F.floor(F.col("value") * 10000 + F.lit(0.5))
         .cast("bigint")
         .alias("value_s"),
     )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    gap = F.col("ts_us") - F.lag("ts_us").over(w)
     sess = (
         ev.withColumn(
             "new_session",
-            F.when(gap.isNull() | (gap > 1800), 1).otherwise(0),
+            F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0),
         )
         .withColumn(
             "session_id",
@@ -230,10 +240,9 @@ def events_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per.groupBy("user_id").agg(
         F.max("session_id").alias("n_sessions"),
         F.max("n_events").alias("max_session_events"),
-        (
-            F.floor(F.sum("sum_value_s") / 100.0 + F.lit(0.5)).cast("double")
-            / 100.0
-        ).alias("total_value"),
+        F.floor(F.sum("sum_value_s") / 100.0 + F.lit(0.5))
+        .cast("bigint")
+        .alias("total_value_cents"),
     )
 
 
@@ -242,7 +251,7 @@ WITH g AS (
   SELECT user_id, ts, event_id,
          CAST(floor(value * 10000 + 0.5) AS BIGINT) AS value_s,
          CASE WHEN lag(ts) OVER w IS NULL
-                   OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
               THEN 1 ELSE 0 END AS new_session
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -261,8 +270,8 @@ per AS (
 )
 SELECT user_id, max(session_id) AS n_sessions,
        max(n_events) AS max_session_events,
-       CAST(floor(sum(sum_value_s) / 100.0 + 0.5) AS DOUBLE) / 100.0
-         AS total_value
+       CAST(floor(sum(sum_value_s) / 100.0 + 0.5) AS BIGINT)
+         AS total_value_cents
 FROM per GROUP BY user_id
 """
 
@@ -381,11 +390,12 @@ def events_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql import Window
 
-    # epoch micros via timestampdiff from a fixed NTZ epoch: exact
-    # integers, independent of the session timezone (ts is
-    # TIMESTAMP_NTZ; unix_* functions would coerce through the
-    # session zone)
-    ts_us = "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)"
+    # epoch micros via tz-free field extraction (ts is TIMESTAMP_NTZ;
+    # unix_* AND timestampdiff both coerce through the session zone —
+    # see common.ntz_epoch_us + tests/test_dst_sessions.py)
+    from .common import ntz_epoch_us
+
+    ts_us = ntz_epoch_us("ts")
     tagged = ev.select(
         "user_id", "event_id",
         F.expr(ts_us).alias("ts_us"),

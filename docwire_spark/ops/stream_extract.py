@@ -20,7 +20,7 @@ import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from docwire_spark.ops.common import load
+from docwire_spark.ops.common import load, ntz_epoch_us
 
 _SINK_IDS = itertools.count()
 
@@ -206,9 +206,11 @@ def stream_dedup_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res
 
 
-#: NTZ -> epoch µs (session-tz-proof; events.ts is TIMESTAMP_NTZ and
-#: watermarks require TIMESTAMP, so the instant conversion is explicit)
-_NTZ_US = "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)"
+#: NTZ -> epoch µs (session-tz-proof via field extraction — even
+#: timestampdiff coerces NTZ through the session zone, see
+#: common.ntz_epoch_us; events.ts is TIMESTAMP_NTZ and watermarks
+#: require TIMESTAMP, so the instant conversion is explicit)
+_NTZ_US = ntz_epoch_us("ts")
 
 
 def stream_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
