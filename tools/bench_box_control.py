@@ -23,6 +23,9 @@ excluded from the timed window, mirroring extract_job's corpus cache.
 
 Usage: python tools/bench_box_control.py [--n-docs 60000]
        [--budgets 3,12]
+       [--single-budget 3]   # one leg only: lets bench_scaling
+                             # interleave each control adjacent in
+                             # time to its matching Spark leg
 """
 
 from __future__ import annotations
@@ -65,14 +68,44 @@ def run_width(n_docs: int, width: int) -> float:
     return n_docs / wall
 
 
+def run_budget(cpus: int, n_docs: int) -> dict:
+    """Run the control for ONE bound-CPU budget in a taskset child;
+    raise (with the child's stderr tail) rather than hide a crash —
+    a broken control must never read as a perfect one."""
+    env = dict(os.environ,
+               _BOX_CONTROL_CHILD="1",
+               # 2 workers per 3 bound CPUs: the same task-slot to
+               # CPU-budget ratio as the bench_scaling legs (each
+               # 2-core executor gets cores+1 host CPUs), so the
+               # worker counts mirror Spark's 2 vs 8 task slots
+               _BOX_CONTROL_WIDTH=str(max(1, cpus * 2 // 3)))
+    out = subprocess.run(
+        ["taskset", "-c", f"0-{cpus - 1}", sys.executable,
+         os.path.abspath(__file__), "--n-docs", str(n_docs)],
+        capture_output=True, text=True, env=env, timeout=3600,
+    )
+    lines = [ln for ln in out.stdout.splitlines() if ln.startswith("{")]
+    if out.returncode != 0 or not lines:
+        raise RuntimeError(
+            f"box-control child (budget {cpus}) failed: "
+            f"rc={out.returncode}\nstdout: {out.stdout[-1000:]}\n"
+            f"stderr: {out.stderr[-1000:]}"
+        )
+    res = json.loads(lines[-1])
+    res["budget_cpus"] = cpus
+    return res
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n-docs", type=int, default=60_000)
     ap.add_argument("--budgets", default="3,12",
                     help="bound host-CPU budgets, low,high (must match "
                          "the bench_scaling taskset budgets)")
+    ap.add_argument("--single-budget", type=int, default=None,
+                    help="run only this one budget and print its JSON "
+                         "(for interleaving with the Spark legs)")
     args = ap.parse_args()
-    low_cpus, high_cpus = (int(x) for x in args.budgets.split(","))
 
     if os.environ.get("_BOX_CONTROL_CHILD"):
         # child re-exec under taskset: run one width and print JSON
@@ -81,22 +114,14 @@ def main():
         print(json.dumps({"width": width, "docs_per_sec": round(thr, 1)}))
         return
 
+    if args.single_budget is not None:
+        print(json.dumps(run_budget(args.single_budget, args.n_docs)))
+        return
+
+    low_cpus, high_cpus = (int(x) for x in args.budgets.split(","))
     results = {}
     for cpus in (low_cpus, high_cpus):
-        env = dict(os.environ,
-                   _BOX_CONTROL_CHILD="1",
-                   # 2 workers per 3 bound CPUs: the same task-slot to
-                   # CPU-budget ratio as the bench_scaling legs (each
-                   # 2-core executor gets cores+1 host CPUs), so the
-                   # worker counts mirror Spark's 2 vs 8 task slots
-                   _BOX_CONTROL_WIDTH=str(max(1, cpus * 2 // 3)))
-        out = subprocess.run(
-            ["taskset", "-c", f"0-{cpus - 1}", sys.executable,
-             os.path.abspath(__file__), "--n-docs", str(args.n_docs)],
-            capture_output=True, text=True, env=env, timeout=3600,
-        )
-        line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-        results[cpus] = json.loads(line)
+        results[cpus] = run_budget(cpus, args.n_docs)
         print(f"budget {cpus} CPUs -> {results[cpus]}")
 
     lo, hi = results[low_cpus], results[high_cpus]

@@ -71,7 +71,13 @@ def main():
     ap.add_argument("--no-bind", action="store_true",
                     help="skip taskset CPU binding (bind is the default: "
                     "each run owns exactly its N host CPUs)")
+    ap.add_argument("--control-n-docs", type=int, default=None,
+                    help="box-control corpus size (default n_docs/2 so "
+                    "the control window duration is comparable to the "
+                    "Spark legs it normalizes)")
     args = ap.parse_args()
+    if args.control_n_docs is None:
+        args.control_n_docs = max(20_000, args.n_docs // 2)
 
     import re
 
@@ -94,45 +100,77 @@ def main():
 
     bind = not args.no_bind
     corpus = f"/tmp/scaling_corpus_{args.n_docs}"
-    r_low = run(args.low, args.n_docs, corpus,
-                cpus=ncores(args.low) if bind else None)
-    r_high = run(args.high, args.n_docs, corpus,
-                 cpus=ncores(args.high) if bind else None)
 
     # box-delivery control (tools/bench_box_control.py): the identical
     # per-document pipeline under plain multiprocessing — no Spark, no
-    # JVM — at the SAME two bound-CPU budgets, measured in the same
-    # time window as the Spark legs.  On this sandbox a noisy neighbor
-    # steals a time-varying share of CPU/memory bandwidth at higher
-    # widths (BENCH/BASELINE.md "Box variance"), so the control bounds
-    # what ANY perfectly-parallel job can show here; real cluster
-    # nodes each own their sockets and do not have this term.  The
-    # north-rule gate is therefore evaluated on the job-attributable
-    # efficiency raw/control (capped at 1).
-    control = None
-    if bind:
+    # JVM — at the SAME two bound-CPU budgets.  On this sandbox a
+    # noisy neighbor steals a time-varying share of CPU/memory
+    # bandwidth at higher widths (BENCH/BASELINE.md "Box variance"),
+    # so the control bounds what ANY perfectly-parallel job can show
+    # here; real cluster nodes each own their sockets and do not have
+    # this term.  The north-rule gate is therefore evaluated on the
+    # job-attributable efficiency raw/control (capped at 1) — and the
+    # RAW ratio is always reported alongside it.
+    #
+    # INTERLEAVING (r4 advice): the neighbor is time-varying, so each
+    # control leg runs IMMEDIATELY AFTER its matching Spark leg
+    # (spark-low, control-low, spark-high, control-high) — a control
+    # sampled minutes away from the leg it normalizes could
+    # misattribute a transient.  The control corpus scales with the
+    # Spark corpus (default n_docs/2; the kernel-only control does
+    # ~2x the docs/sec of the full Spark pipeline) so both timed
+    # windows have comparable duration and noise exposure.
+    def run_control(cpus: int) -> dict | None:
         ctl = subprocess.run(
             [sys.executable,
              os.path.join(REPO, "tools", "bench_box_control.py"),
-             "--n-docs", "60000",
-             "--budgets", f"{ncores(args.low)},{ncores(args.high)}"],
+             "--n-docs", str(args.control_n_docs),
+             "--single-budget", str(cpus)],
             capture_output=True, text=True, cwd=REPO, timeout=3600,
         )
         lines = [ln for ln in ctl.stdout.splitlines()
-                 if ln.startswith("{") and "control_efficiency" in ln]
-        if lines:
-            control = json.loads(lines[-1])
+                 if ln.startswith("{") and "docs_per_sec" in ln]
+        if ctl.returncode != 0 or not lines:
+            print(f"WARNING: box control (budget {cpus}) failed "
+                  f"rc={ctl.returncode}; gate falls back to the RAW "
+                  f"ratio\nstderr tail: {ctl.stderr[-500:]}",
+                  file=sys.stderr)
+            return None
+        return json.loads(lines[-1])
+
+    ctl_low = ctl_high = None
+    r_low = run(args.low, args.n_docs, corpus,
+                cpus=ncores(args.low) if bind else None)
+    if bind:
+        ctl_low = run_control(ncores(args.low))
+    r_high = run(args.high, args.n_docs, corpus,
+                 cpus=ncores(args.high) if bind else None)
+    if bind:
+        ctl_high = run_control(ncores(args.high))
 
     ratio = 4.0  # N vs 4N cores
     eff = (r_high["docs_per_sec"] / r_low["docs_per_sec"]) / ratio
-    ctl_eff = control["control_efficiency"] if control else 1.0
+    control_ok = ctl_low is not None and ctl_high is not None
+    control = None
+    if control_ok:
+        control = {
+            "control_low": ctl_low, "control_high": ctl_high,
+            "budget_ratio": ncores(args.high) / ncores(args.low),
+            "control_efficiency": round(
+                (ctl_high["docs_per_sec"] / ctl_low["docs_per_sec"])
+                / (ncores(args.high) / ncores(args.low)), 3),
+        }
+    ctl_eff = control["control_efficiency"] if control_ok else 1.0
     job_eff = min(1.0, eff / ctl_eff) if ctl_eff > 0 else eff
     result = {
         "n_docs": args.n_docs,
+        "control_n_docs": args.control_n_docs if bind else None,
         "low": r_low,
         "high": r_high,
         "scaling_efficiency": round(eff, 3),
-        "control_efficiency": round(ctl_eff, 3),
+        "gate_raw": "PASS" if eff >= 0.8 else "FAIL",
+        "control_failed": bind and not control_ok,
+        "control_efficiency": round(ctl_eff, 3) if control_ok else None,
         "job_attributable_efficiency": round(job_eff, 3),
         "gate": "PASS" if job_eff >= 0.8 else "FAIL",
     }
@@ -167,8 +205,12 @@ executor JVM's own feed/GC/netty threads, like an executor on a real
 node (3 vs 12 of the 32 host CPUs for the 2-core-executor pair) — so
 the low run cannot borrow idle host cores and the high run is not
 artificially oversubscribed.
-(c) a box-delivery CONTROL runs in the same time window
-(`tools/bench_box_control.py`): the identical per-document pipeline
+(c) a box-delivery CONTROL (`tools/bench_box_control.py`) is
+INTERLEAVED with the Spark legs — each control leg runs immediately
+after its matching Spark leg (spark-low, control-low, spark-high,
+control-high), with a control corpus sized to n_docs/2 so each
+control window has comparable duration and noise exposure to the leg
+it normalizes.  The control is the identical per-document pipeline
 under plain multiprocessing — zero Spark machinery — at the same two
 bound-CPU budgets and the same worker-to-budget ratio.  This sandbox
 VM has a noisy neighbor stealing a time-varying share of CPU/memory
@@ -177,7 +219,9 @@ single-thread swings within minutes), so the control bounds what ANY
 perfectly-parallel job can show at measurement time; real cluster
 nodes own their sockets and do not carry this term.  The north-rule
 gate is evaluated on the job-attributable efficiency raw/control
-(capped at 1).
+(capped at 1); the RAW ratio is reported alongside it, and a failed
+control is flagged loudly (gate falls back to the raw ratio — it is
+never silently treated as a perfect control).
 
 | master | docs | failed | wall (s) | docs/sec | MB/sec |
 |---|---|---|---|---|---|
@@ -186,8 +230,10 @@ gate is evaluated on the job-attributable efficiency raw/control
 
 **Raw scaling efficiency** = (thr_{{4N}} / thr_{{N}}) / 4 =
 ({r_high['docs_per_sec']} / {r_low['docs_per_sec']}) / 4 =
-**{round(eff, 3)}**.
-**Box control** (same budgets, no Spark): **{round(ctl_eff, 3)}**
+**{round(eff, 3)}** — raw gate ≥ 0.8: **{result['gate_raw']}**.
+**Box control** (same budgets, no Spark, interleaved,
+n_docs={args.control_n_docs}): **{
+    round(ctl_eff, 3) if control_ok else 'FAILED — raw gate governs'}**
 (low {control['control_low']['docs_per_sec'] if control else 'n/a'}
 docs/s x{control['control_low']['width'] if control else '-'} /
 high {control['control_high']['docs_per_sec'] if control else 'n/a'}
