@@ -87,6 +87,7 @@ HEADLINE = [
     "dedup_simhash_pairs",
     "dedup_embedding",
     "dedup_chunk_exact",
+    "dedup_substring",
     "dedup_components",
     # similarity search / clustering
     "similarity_topk",

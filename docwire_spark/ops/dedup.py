@@ -1311,6 +1311,138 @@ FROM ranked
 """
 
 
+SUBSTR_K = 15
+
+
+def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication coverage (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better",
+    ExactSubstr): a SLIDING ``SUBSTR_K``-token window is *duplicated*
+    if its exact token sequence occurs anywhere else in the corpus
+    (another document OR the same one), and a document's duplicated
+    span coverage is the union of its duplicated windows.  This
+    catches what the aligned chunk dedup (dedup_chunk_exact) cannot:
+    a copied paragraph at an arbitrary token offset.
+
+    Scale shape (the suffix-array step of the paper re-expressed as
+    joins): explode to one slim row per window start (doc_id, i,
+    16-hex md5 window key — ~28 bytes/token), persist it, then
+    (1) groupBy(key) count — MAP-SIDE COMBINE crushes the viral-
+        boilerplate key ("click here to subscribe" x 10^8) before the
+        shuffle, which is why this is a groupBy + join-back and NOT a
+        count-over-window like the chunk op (window partitioning has
+        no partial aggregation);
+    (2) inner equi-join occurrences to the >1 keys (AQE skew-join
+        splits any residual hot key);
+    (3) one window over doc_id merges overlapping spans into an exact
+        union size via the sorted-starts fold
+        ``least(K, next_start - start)``.
+    No cartesian product; every shuffle is keyed."""
+    from pyspark.sql import Window
+
+    docs = with_tokens(load(spark, sf_dir, "documents", parallelize=True))
+    base = persist_tracked(
+        docs.select("doc_id", F.expr("size(tokens)").alias("n_tokens"),
+                    "tokens")
+    )
+    occ = persist_tracked(
+        base.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"CASE WHEN size(tokens) >= {SUBSTR_K} THEN"
+                    f" sequence(1, size(tokens) - {SUBSTR_K} + 1)"
+                    " ELSE array() END"
+                )
+            ).alias("i"),
+            "tokens",
+        ).select(
+            "doc_id",
+            "i",
+            F.expr(
+                "substring(md5(array_join("
+                f"slice(tokens, i, {SUBSTR_K}), ' ')), 1, 16)"
+            ).alias("k"),
+        )
+    )
+    dup_keys = occ.groupBy("k").count().filter(F.col("count") > 1).select("k")
+    dup = occ.join(dup_keys, "k")
+    w = Window.partitionBy("doc_id").orderBy("i")
+    spans = dup.select(
+        "doc_id",
+        "i",
+        F.least(
+            F.lit(SUBSTR_K),
+            F.coalesce(F.lead("i").over(w), F.col("i") + SUBSTR_K)
+            - F.col("i"),
+        ).alias("contrib"),
+    )
+    per_doc = spans.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_dup_windows"),
+        F.sum("contrib").cast("bigint").alias("dup_tokens"),
+    )
+    return (
+        base.select("doc_id", "n_tokens")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.expr(f"CAST(greatest(n_tokens - {SUBSTR_K} + 1, 0) AS BIGINT)")
+            .alias("n_windows"),
+            F.coalesce("n_dup_windows", F.lit(0))
+            .cast("bigint").alias("n_dup_windows"),
+            F.coalesce("dup_tokens", F.lit(0))
+            .cast("bigint").alias("dup_tokens"),
+            F.when(
+                F.col("n_tokens") > 0,
+                F.round(
+                    F.coalesce("dup_tokens", F.lit(0)).cast("double")
+                    / F.col("n_tokens"),
+                    6,
+                ),
+            ).otherwise(F.lit(0.0)).alias("dup_frac"),
+        )
+    )
+
+
+DEDUP_SUBSTRING_SQL = f"""
+WITH t AS (
+  SELECT doc_id, {TOKENS_SQL} AS tokens FROM documents
+), occ AS (
+  SELECT doc_id, i,
+         substring(md5(array_to_string(tokens[i:i + {SUBSTR_K} - 1], ' ')),
+                   1, 16) AS k
+  FROM t, unnest(generate_series(1, len(tokens) - {SUBSTR_K} + 1)) AS u(i)
+), dk AS (
+  SELECT k FROM occ GROUP BY k HAVING count(*) > 1
+), dup AS (
+  SELECT occ.doc_id, occ.i FROM occ JOIN dk USING (k)
+), sp AS (
+  SELECT doc_id, i,
+         least({SUBSTR_K},
+               coalesce(lead(i) OVER (PARTITION BY doc_id ORDER BY i),
+                        i + {SUBSTR_K}) - i) AS contrib
+  FROM dup
+), per_doc AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_dup_windows,
+         CAST(sum(contrib) AS BIGINT) AS dup_tokens
+  FROM sp GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(len(tokens) AS BIGINT) AS n_tokens,
+       CAST(greatest(len(tokens) - {SUBSTR_K} + 1, 0) AS BIGINT)
+         AS n_windows,
+       coalesce(n_dup_windows, 0) AS n_dup_windows,
+       coalesce(dup_tokens, 0) AS dup_tokens,
+       CASE WHEN len(tokens) > 0
+            THEN round(CAST(coalesce(dup_tokens, 0) AS DOUBLE)
+                       / len(tokens), 6)
+            ELSE 0.0 END AS dup_frac
+FROM t LEFT JOIN per_doc USING (doc_id)
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -1322,6 +1454,7 @@ QUERIES = {
     "dedup_chunk_rewrite": dedup_chunk_rewrite,
     "dedup_components": dedup_components,
     "dedup_canonical_select": dedup_canonical_select,
+    "dedup_substring": dedup_substring,
 }
 
 ORACLES = {
@@ -1335,4 +1468,5 @@ ORACLES = {
     "dedup_chunk_rewrite": DEDUP_CHUNK_REWRITE_SQL,
     "dedup_components": DEDUP_COMPONENTS_SQL,
     "dedup_canonical_select": DEDUP_CANONICAL_SQL,
+    "dedup_substring": DEDUP_SUBSTRING_SQL,
 }
