@@ -95,8 +95,10 @@ PRIORITY_WINDOW = [
     "bpe_train", "bpe_encode",
     # dedup family (8; dedup_jaccard_exact is the labeled O(n^2)
     # ground-truth validator and stays registry-only; dedup_chunk_exact
-    # joins the window — never driver-verified before r5)
-    "dedup_exact", "dedup_minhash_lsh",
+    # joins the window — never driver-verified before r5; the r5-new
+    # dedup_substring takes dedup_exact's slot, whose trivial
+    # hash-groupBy shape is green r1-r4 and unchanged)
+    "dedup_substring", "dedup_minhash_lsh",
     "dedup_simhash_pairs", "dedup_embedding", "dedup_chunk_exact",
     "dedup_chunk_rewrite", "dedup_components", "dedup_canonical_select",
     # similarity / graph / packing / diff / multimodal (9)
