@@ -1341,9 +1341,14 @@ def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = with_tokens(load(spark, sf_dir, "documents", parallelize=True))
+    # greatest(size, 0): Spark size(NULL) is -1 where DuckDB len(NULL)
+    # is NULL — a NULL-text crawl row must report 0 in BOTH engines
     base = persist_tracked(
-        docs.select("doc_id", F.expr("size(tokens)").alias("n_tokens"),
-                    "tokens")
+        docs.select(
+            "doc_id",
+            F.expr("greatest(size(tokens), 0)").alias("n_tokens"),
+            "tokens",
+        )
     )
     occ = persist_tracked(
         base.select(
@@ -1430,12 +1435,12 @@ WITH t AS (
   FROM sp GROUP BY doc_id
 )
 SELECT t.doc_id,
-       CAST(len(tokens) AS BIGINT) AS n_tokens,
-       CAST(greatest(len(tokens) - {SUBSTR_K} + 1, 0) AS BIGINT)
-         AS n_windows,
+       CAST(coalesce(len(tokens), 0) AS BIGINT) AS n_tokens,
+       CAST(greatest(coalesce(len(tokens), 0) - {SUBSTR_K} + 1, 0)
+            AS BIGINT) AS n_windows,
        coalesce(n_dup_windows, 0) AS n_dup_windows,
        coalesce(dup_tokens, 0) AS dup_tokens,
-       CASE WHEN len(tokens) > 0
+       CASE WHEN coalesce(len(tokens), 0) > 0
             THEN round(CAST(coalesce(dup_tokens, 0) AS DOUBLE)
                        / len(tokens), 6)
             ELSE 0.0 END AS dup_frac

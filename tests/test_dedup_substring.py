@@ -39,6 +39,9 @@ def sub_dir(spark, tmp_path_factory):
         (3, _words("f", 40)),
         # doc 4: shorter than K -> zero windows
         (4, _words("g", K - 1)),
+        # doc 5: NULL text -> must report 0 tokens (not Spark's
+        # size(NULL) = -1), matching DuckDB's coalesce(len, 0)
+        (5, None),
     ]
     spark.createDataFrame(rows, "doc_id bigint, text string").coalesce(
         1
@@ -72,6 +75,8 @@ def test_substring_coverage_semantics(spark, sub_dir):
     assert got[3] == (40, 26, 0, 0, 0.0)
     # doc 4: no windows at all
     assert got[4] == (K - 1, 0, 0, 0, 0.0)
+    # doc 5: NULL text reports zeros in both engines
+    assert got[5] == (0, 0, 0, 0, 0.0)
 
 
 def test_substring_plan_no_cartesian(spark, sub_dir):
