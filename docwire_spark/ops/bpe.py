@@ -316,7 +316,7 @@ SELECT doc_id,
        CAST(n_words AS BIGINT) AS n_words,
        CAST(len(subwords) AS BIGINT) AS n_subwords,
        CAST(len(list_distinct(subwords)) AS BIGINT) AS n_distinct_subwords,
-       array_to_string(subwords[1:6], ' ') AS preview
+       coalesce(array_to_string(subwords[1:6], ' '), '') AS preview
 FROM enc
 """
 

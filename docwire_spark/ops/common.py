@@ -17,9 +17,17 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 #: Spark SQL expression producing the token array from a `text` column.
-TOKENS_EXPR = "regexp_extract_all(lower(text), '[a-z0-9]+', 0)"
+#: coalesce-to-empty: NULL text means ZERO tokens in BOTH engines —
+#: without it Spark's size(NULL) = -1 while DuckDB's len(NULL) is
+#: NULL, so every token-derived column silently diverges on any crawl
+#: corpus carrying a NULL text row (tests/test_hostile_parity.py).
+TOKENS_EXPR = (
+    "coalesce(regexp_extract_all(lower(text), '[a-z0-9]+', 0), array())"
+)
 #: Same tokenizer in DuckDB (group index defaults to 0 there).
-TOKENS_SQL = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+TOKENS_SQL = (
+    "coalesce(regexp_extract_all(lower(text), '[a-z0-9]+'), [])"
+)
 
 # English stopword list shared by the quality score (ops/textstats.py)
 # and the corpus quality filter (ops/corpus_filter.py) plus their
@@ -27,8 +35,14 @@ TOKENS_SQL = "regexp_extract_all(lower(text), '[a-z0-9]+')"
 STOP_EN = "'the','a','and','of','to','in','is','it','on','for'"
 
 #: GPT2-style coarse pre-tokenizer: letter runs | single digits | punct.
-BPE_EXPR = "regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9 ]', 0)"
-BPE_SQL = "regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9 ]')"
+BPE_EXPR = (
+    "coalesce(regexp_extract_all(lower(text),"
+    " '[a-z]+|[0-9]|[^a-z0-9 ]', 0), array())"
+)
+BPE_SQL = (
+    "coalesce(regexp_extract_all(lower(text),"
+    " '[a-z]+|[0-9]|[^a-z0-9 ]'), [])"
+)
 
 
 def ntz_epoch_us(col: str) -> str:

@@ -159,13 +159,18 @@ WITH t AS (
              x -> len(list_filter(bg, y -> y = x)))), 0) AS top_bg
   FROM b
 ), r AS (
+  -- coalesce(.., 0): a zero-token doc has NULL avg_len/short_frac
+  -- (0/0) and must FAIL those rules, matching the Spark side's
+  -- explicit coalesce-to-0 flag contract
   SELECT doc_id,
     CAST(n_tok >= {MIN_TOKENS} AND n_tok <= {MAX_TOKENS} AS INT)
       AS pass_n_tokens,
-    CAST(avg_len >= {MIN_AVG_TOKEN_LEN} AND avg_len <= {MAX_AVG_TOKEN_LEN}
-         AS INT) AS pass_avg_token_len,
+    coalesce(CAST(avg_len >= {MIN_AVG_TOKEN_LEN}
+                  AND avg_len <= {MAX_AVG_TOKEN_LEN} AS INT), 0)
+      AS pass_avg_token_len,
     CAST(stops >= {MIN_STOPWORDS} AS INT) AS pass_stopwords,
-    CAST(short_frac <= {MAX_SHORT_TOKEN_FRAC} AS INT) AS pass_short_tokens,
+    coalesce(CAST(short_frac <= {MAX_SHORT_TOKEN_FRAC} AS INT), 0)
+      AS pass_short_tokens,
     CAST(n_bg = 0 OR CAST(top_bg AS DOUBLE) / n_bg <= {MAX_TOP_BIGRAM_FRAC}
          AS INT) AS pass_top_bigram
   FROM m

@@ -109,7 +109,9 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DEDUP_EXACT_SQL = f"""
-SELECT md5(array_to_string({TOKENS_SQL}, ' ')) AS fp,
+-- coalesce: DuckDB array_to_string([], ' ') is NULL where Spark's
+-- concat_ws is '' — zero-token docs must share md5('') in both engines
+SELECT md5(coalesce(array_to_string({TOKENS_SQL}, ' '), '')) AS fp,
        min(doc_id) AS keep_doc_id,
        CAST(count(*) AS BIGINT) AS n_copies
 FROM documents
