@@ -247,18 +247,27 @@ def events_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EVENTS_SESSIONS_SQL = """
+-- NULL-ts policy (matches the Spark side exactly, pinned by
+-- tests/test_hostile_parity.py): events sort NULLS FIRST (Spark's
+-- ascending default; DuckDB defaults NULLS LAST, hence explicit),
+-- and a NULL gap — either endpoint lacking a timestamp — always
+-- starts a new session (Spark's gap.isNull() branch; a bare
+-- NULL > 1800000000 comparison would silently read as "same
+-- session" here)
 WITH g AS (
   SELECT user_id, ts, event_id,
          CAST(floor(value * 10000 + 0.5) AS BIGINT) AS value_s,
          CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) IS NULL
                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
               THEN 1 ELSE 0 END AS new_session
   FROM events
-  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id)
 ),
 s AS (
   SELECT user_id, value_s,
-         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         sum(new_session) OVER (PARTITION BY user_id
+                                ORDER BY ts NULLS FIRST, event_id
                                 ROWS UNBOUNDED PRECEDING) AS session_id
   FROM g
 ),
@@ -443,10 +452,10 @@ WITH tagged AS (
 ), w AS (
   SELECT *,
          last_value(click_id_src IGNORE NULLS) OVER
-           (PARTITION BY user_id ORDER BY ts_us, is_tgt, event_id
+           (PARTITION BY user_id ORDER BY ts_us NULLS FIRST, is_tgt, event_id
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS click_id,
          last_value(click_us_src IGNORE NULLS) OVER
-           (PARTITION BY user_id ORDER BY ts_us, is_tgt, event_id
+           (PARTITION BY user_id ORDER BY ts_us NULLS FIRST, is_tgt, event_id
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS click_us
   FROM tagged
 )

@@ -80,6 +80,60 @@ def hostile_dir(spark, tmp_path_factory):
     return d
 
 
+@pytest.fixture(scope="module")
+def hostile_events_dir(spark, tmp_path_factory):
+    import datetime
+
+    T = datetime.datetime
+    d = str(tmp_path_factory.mktemp("hostileevents"))
+    rows = [
+        (1, T(2024, 1, 1, 0, 0, 0), 1, "click", 1.0, "{}"),
+        (2, T(2024, 1, 1, 0, 10, 0), 1, "purchase", 2.0, "{}"),
+        (3, None, 1, "click", 1.0, "{}"),                    # NULL ts
+        (4, T(2024, 1, 1, 1, 0, 0), None, "view", 0.5, "{}"),  # NULL user
+        (5, T(2024, 1, 1, 2, 0, 0), 2, None, 1.5, "{}"),       # NULL type
+        (6, T(2024, 1, 1, 3, 0, 0), 2, "purchase", None, "{}"),  # NULL value
+        (7, T(2024, 1, 1, 3, 20, 0), 2, "click", 3.0, None),     # NULL props
+        # user 3: a NULL-ts click is the ONLY candidate click — the
+        # case where Spark's NULLS FIRST vs DuckDB's default NULLS
+        # LAST window order flips the as-of attribution
+        (8, None, 3, "click", 1.0, "{}"),
+        (9, T(2024, 1, 1, 4, 0, 0), 3, "purchase", 2.0, "{}"),
+    ]
+    spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp_ntz, user_id bigint,"
+        " event_type string, value double, props string",
+    ).coalesce(1).write.parquet(os.path.join(d, "events.parquet"))
+    return d
+
+
+def test_events_ops_match_oracles_on_null_rows(spark, hostile_events_dir):
+    """NULL ts / user_id / event_type / value rows: window ordering
+    (NULLS FIRST both engines) and NULL-gap session breaks must agree
+    exactly — Spark defaults NULLS FIRST where DuckDB defaults NULLS
+    LAST, and a bare NULL > threshold comparison silently reads as
+    'same session' in SQL."""
+    import __spark_entry__ as entry
+
+    qs, oracles = entry.queries(), entry.oracle_sql()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"'{os.path.join(hostile_events_dir, 'events.parquet', '*.parquet')}'"
+    )
+    for name in ("events_by_type", "events_user_sessions",
+                 "events_asof_attribution"):
+        df = qs[name](spark, hostile_events_dir)
+        cols = df.columns
+        rows = [tuple(r) for r in df.collect()]
+        res = con.execute(oracles[name])
+        ocols = [c[0] for c in res.description]
+        orows = res.fetchall()
+        assert sorted(cols) == sorted(ocols), name
+        assert len(rows) == len(orows), name
+        assert value_hash(rows, cols) == value_hash(orows, ocols), name
+
+
 def test_token_ops_match_oracles_on_hostile_rows(spark, hostile_dir):
     import __spark_entry__ as entry
     from docwire_spark.ops.common import release_persisted
