@@ -32,7 +32,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .common import load
+from .common import load  # noqa: F401  (kept for other tables)
+from .dedup import EMB_VALID_SQL, load_valid_embeddings
 
 K = 10
 DIM = 64
@@ -74,7 +75,7 @@ def _recompute(assigned: DataFrame) -> list[tuple[int, list[float]]]:
 
 def _load_vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
-        load(spark, sf_dir, "embeddings", parallelize=True)
+        load_valid_embeddings(spark, sf_dir)
         .select(
             "vec_id",
             F.expr("transform(embedding, x -> CAST(x AS DOUBLE))")
@@ -129,6 +130,7 @@ def _dist_sql(emb: str, cvec: str) -> str:
 _LLOYD_CTES = f"""v AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
   FROM embeddings
+  WHERE {EMB_VALID_SQL}
 ), c0 AS (
   SELECT vec_id AS cid, emb AS cvec FROM v WHERE vec_id < {K}
 ), d1 AS (

@@ -713,6 +713,23 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_THRESHOLD}
 EMB_DIM = 64
 EMB_BAND_SIZE = 4      # planes per band
 EMB_N_BANDS = 24       # 96 planes total
+
+#: Validity guard shared by EVERY embeddings scan (Spark + oracle): a
+#: 10^12-row embedding table WILL carry NULL and wrong-dimension rows
+#: (failed encoder calls, schema drift), and a single one must be
+#: dropped — not kill the job (numpy kernels crash on ragged input,
+#: codegen indexes past the array) or skew the math.  Both engines
+#: filter with the same predicate so row counts stay oracle-true.
+EMB_VALID_SQL = f"embedding IS NOT NULL AND len(embedding) = {EMB_DIM}"
+_EMB_VALID_EXPR = f"embedding IS NOT NULL AND size(embedding) = {EMB_DIM}"
+
+
+def load_valid_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .common import load as _load
+
+    return _load(spark, sf_dir, "embeddings", parallelize=True).filter(
+        F.expr(_EMB_VALID_EXPR)
+    )
 # Measured at sf0.01 vs the brute-force ground truth: recall 0.967 at
 # threshold 0.3.  NOTE: cos 0.3 is only ~0.10 above random in
 # plane-agreement probability (0.60 vs 0.50), so ANY sign-LSH prunes
@@ -814,7 +831,7 @@ NORM_CODEGEN = "sqrt(aggregate(v, 0D, (acc, x) -> acc + x * x))"
 
 
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    vecs = load(spark, sf_dir, "embeddings", parallelize=True).select(
+    vecs = load_valid_embeddings(spark, sf_dir).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     # persist: the banded table feeds both self-join sides and the two
@@ -899,6 +916,7 @@ e AS (
          sqrt(list_sum(list_transform(embedding::DOUBLE[], q -> q * q)))
            AS norm
   FROM embeddings
+  WHERE {EMB_VALID_SQL}
 ),
 proj AS (
   SELECT e.vec_id, p // {EMB_BAND_SIZE} AS band,

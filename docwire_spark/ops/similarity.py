@@ -35,8 +35,8 @@ from docwire_spark.ops.common import (
     persist_tracked,
 )
 from docwire_spark.ops.dedup import (
-    _COS, EMB_BAND_SIZE, EMB_DIM, EMB_N_BANDS, NORM_CODEGEN, _EMB_SCHEMA,
-    _emb_band_batches, _emb_planes,
+    _COS, EMB_BAND_SIZE, EMB_DIM, EMB_N_BANDS, EMB_VALID_SQL, NORM_CODEGEN,
+    _EMB_SCHEMA, _emb_band_batches, _emb_planes, load_valid_embeddings,
 )
 
 DIM = EMB_DIM
@@ -48,7 +48,7 @@ LSH_N_QUERIES = 20
 
 def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
-        load(spark, sf_dir, "embeddings", parallelize=True)
+        load_valid_embeddings(spark, sf_dir)
         .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
         .withColumn("norm", F.expr(NORM_CODEGEN))
     )
@@ -92,6 +92,7 @@ WITH e AS (
          sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x)))
            AS norm
   FROM embeddings
+  WHERE {EMB_VALID_SQL}
 ),
 scored AS (
   SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
@@ -116,7 +117,7 @@ def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     window top-k.  At cluster scale the band table is the shuffle
     key and the scored candidate set is ~(recall-controlled) orders
     of magnitude smaller than the corpus."""
-    vecs = load(spark, sf_dir, "embeddings", parallelize=True).select(
+    vecs = load_valid_embeddings(spark, sf_dir).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     banded = persist_tracked(
@@ -185,6 +186,7 @@ e AS (
          sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x)))
            AS norm
   FROM embeddings
+  WHERE {EMB_VALID_SQL}
 ),
 proj AS (
   SELECT e.vec_id, p // {EMB_BAND_SIZE} AS band,
@@ -323,6 +325,7 @@ WITH e AS (
          sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x)))
            AS norm
   FROM embeddings
+  WHERE {EMB_VALID_SQL}
 ),
 c AS (
   SELECT vec_id AS cid, v AS cv, norm AS cnorm FROM e

@@ -41,7 +41,10 @@ def hostile_dir(spark, tmp_path_factory):
     ).coalesce(1).write.parquet(os.path.join(d, "documents.parquet"))
 
     vecs = [(i, [float((i * 7 + j) % 13) - 6.0 for j in range(64)], i % 8)
-            for i in range(40)]
+            for i in range(37)]
+    # degenerate vectors: NULL / empty / wrong dimension — a single
+    # such row must never kill an embeddings op
+    vecs += [(37, None, 1), (38, [], 2), (39, [1.0, 2.0], 3)]
     spark.createDataFrame(
         vecs, "vec_id bigint, embedding array<float>, label int"
     ).coalesce(1).write.parquet(os.path.join(d, "embeddings.parquet"))

@@ -73,11 +73,51 @@ def hostile_dir(spark, tmp_path_factory):
         " n_chars bigint"
     ).coalesce(1).write.parquet(os.path.join(d, "documents.parquet"))
     vecs = [(i, [float((i * 7 + j) % 13) - 6.0 for j in range(64)], i % 8)
-            for i in range(40)]
+            for i in range(37)]
+    # degenerate embedding rows a 10^12-row table WILL contain: failed
+    # encoder call (NULL), empty array, wrong dimension
+    vecs += [(37, None, 1), (38, [], 2), (39, [1.0, 2.0], 3)]
     spark.createDataFrame(
         vecs, "vec_id bigint, embedding array<float>, label int"
     ).coalesce(1).write.parquet(os.path.join(d, "embeddings.parquet"))
     return d
+
+
+EMBEDDING_PARITY_OPS = [
+    "similarity_topk",
+    "similarity_ann_lsh",
+    "similarity_ann_ivf",
+    "kmeans_embeddings",
+    "semdedup",
+    "dedup_embedding",
+]
+
+
+def test_embedding_ops_match_oracles_on_bad_vectors(spark, hostile_dir):
+    """NULL / empty / wrong-dimension embedding rows must be DROPPED by
+    the shared validity guard in both engines — not crash the numpy
+    kernels or the array-indexing codegen, and not skew the math."""
+    import __spark_entry__ as entry
+    from docwire_spark.ops.common import release_persisted
+
+    qs, oracles = entry.queries(), entry.oracle_sql()
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"'{os.path.join(hostile_dir, t + '.parquet', '*.parquet')}'"
+        )
+    for name in EMBEDDING_PARITY_OPS:
+        df = qs[name](spark, hostile_dir)
+        cols = df.columns
+        rows = [tuple(r) for r in df.collect()]
+        release_persisted()
+        res = con.execute(oracles[name])
+        ocols = [c[0] for c in res.description]
+        orows = res.fetchall()
+        assert sorted(cols) == sorted(ocols), name
+        assert len(rows) == len(orows), (name, len(rows), len(orows))
+        assert value_hash(rows, cols) == value_hash(orows, ocols), name
 
 
 @pytest.fixture(scope="module")
