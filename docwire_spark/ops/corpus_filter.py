@@ -320,7 +320,10 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     decision is embarrassingly parallel and restart-stable — the
     property replayable training-data pipelines need."""
     docs = load(spark, sf_dir, "documents", parallelize=True)
-    src_idx = F.expr("CAST(substring(source, 4) AS INT)")
+    # try_cast + the otherwise-chain: a NULL or non-'srcN' source
+    # (unknown stratum) deterministically samples at the TAIL rate in
+    # both engines — never a NULL keep flag, never an ANSI cast error
+    src_idx = F.expr("TRY_CAST(substring(source, 4) AS INT)")
     u8 = F.expr("substring(md5(CAST(doc_id AS STRING)), 1, 8)")
     thr = None
     for bound, hexthr in reversed(_rate_thresholds()):
@@ -335,11 +338,16 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sample_sql() -> str:
+    # last bound (10^9, the tail rate) is the ELSE so a NULL /
+    # unparseable source lands in the tail stratum exactly like the
+    # Spark otherwise-chain, instead of CASE -> NULL
+    thresholds = _rate_thresholds()
     cases = []
-    for bound, hexthr in _rate_thresholds():
-        cases.append(f"WHEN CAST(substring(source, 4) AS INT) < {bound}"
-                     f" THEN '{hexthr}'")
-    case = "CASE " + " ".join(cases) + " END"
+    for bound, hexthr in thresholds[:-1]:
+        cases.append(f"WHEN TRY_CAST(substring(source, 4) AS INT)"
+                     f" < {bound} THEN '{hexthr}'")
+    case = ("CASE " + " ".join(cases)
+            + f" ELSE '{thresholds[-1][1]}' END")
     return f"""
 SELECT doc_id, source,
        substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS u8,

@@ -76,6 +76,13 @@ def pagerank(spark: SparkSession, sf_dir: str, iters: int = ITERS) -> DataFrame:
     deg = edges.groupBy("src").agg(F.count("*").cast("bigint").alias("deg"))
     nodes = deg.select(F.col("src").alias("node"), "deg")
     n = nodes.count()  # one slim scalar to the driver, like any agg
+    if n == 0:
+        # degenerate corpus with no rare-chunk edges: the seed score
+        # 1/n would divide by zero (ANSI) — the oracle's empty joins
+        # return no rows, so an empty frame IS the right answer
+        return spark.createDataFrame(
+            [], "doc_id bigint, pagerank double, deg bigint"
+        )
     scores = nodes.select(
         "node", (F.lit(1.0) / F.lit(float(n))).alias("score")
     )

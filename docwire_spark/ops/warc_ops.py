@@ -111,10 +111,13 @@ def wet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 WET_ROUNDTRIP_SQL = f"""
 SELECT {_URL_DUCK} AS url,
        'text/plain' AS mime,
-       text,
-       md5(text) AS text_md5
+       COALESCE(text, '') AS text,
+       md5(COALESCE(text, '')) AS text_md5
 FROM documents
 """
+# COALESCE: a WET conversion record carries bytes — absent text
+# serializes as an EMPTY payload (warc_io's documented NULL-tolerant
+# writer), so the oracle models NULL -> '' the same way.
 
 
 def warc_cdx(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -170,7 +173,8 @@ def warc_extract_wet(spark: SparkSession, sf_dir: str) -> DataFrame:
     pages = docs.selectExpr(
         f"{_URL_SPARK} AS url",
         f"{_TS_SPARK} AS warc_ts",
-        "encode('<html><head><title>d</title></head><body><p>' || text"
+        "encode('<html><head><title>d</title></head><body><p>'"
+        " || COALESCE(text, '')"
         " || '</p></body></html>', 'UTF-8') AS html",
     )
     warc_dir = scratch_dir("warc_in_")
@@ -199,10 +203,16 @@ def warc_extract_wet(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 WARC_EXTRACT_WET_SQL = f"""
 SELECT {_URL_DUCK} AS url,
-       trim(regexp_replace(text, ' +', ' ', 'g')) || chr(10) || chr(10)
-         AS extracted_text
+       trim(regexp_replace(COALESCE(text, ''), '[ \t\n\r]+', ' ', 'g'))
+         || chr(10) || chr(10) AS extracted_text
 FROM documents
 """
+# COALESCE + whitespace-CLASS collapse: NULL text enters the template
+# as an empty <p> and the kernel's whitespace machine renders an
+# empty paragraph as just the paragraph break — which is exactly
+# trim(collapse('')) || '\n\n'.  The collapse class matches the
+# HTML whitespace set (space/tab/newline/CR), not just spaces, so
+# whitespace-only text reconstructs identically too.
 
 
 QUERIES = {

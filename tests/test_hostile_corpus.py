@@ -68,7 +68,10 @@ def test_all_corpus_ops_survive_hostile_rows(spark, hostile_dir):
         if name.startswith(_SKIP_PREFIXES):
             continue
         df = fn(spark, hostile_dir)
-        n = df.count()          # force full evaluation
+        # collect, NOT count: count() lets column pruning skip the
+        # very expressions that crash (pagerank's 1/n divide-by-zero
+        # hid behind exactly that for three rounds)
+        n = len(df.collect())
         release_persisted()
         assert n >= 0
         ran.append(name)
