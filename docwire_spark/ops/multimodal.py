@@ -82,8 +82,12 @@ def _blob_batches(iterator):
     import pandas as pd
 
     for pdf in iterator:
+        # NULL text -> empty payload: one bad row must never kill a
+        # 10^12-doc media job (None.encode() would)
         blobs = [
-            build_media_blob(int(d), t.encode("utf-8"))
+            build_media_blob(
+                int(d), t.encode("utf-8") if isinstance(t, str) else b""
+            )
             for d, t in zip(pdf["doc_id"], pdf["text"])
         ]
         yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
@@ -134,7 +138,7 @@ _HDR = {"png": 33, "jpeg": 21, "gif": 13, "bmp": 54,
 
 MULTIMODAL_META_SQL = f"""
 WITH m AS (
-  SELECT doc_id, octet_length(encode(text)) AS n,
+  SELECT doc_id, octet_length(encode(COALESCE(text, ''))) AS n,
          CASE WHEN doc_id % 3 = 1 THEN 'wav'
               WHEN doc_id % 3 = 0 THEN
                 ['png','jpeg','gif','bmp'][CAST((doc_id // 3) % 4 AS INT) + 1]
@@ -204,7 +208,9 @@ def _frame_batches(iterator):
     for pdf in iterator:
         rows = {k.name: [] for k in FRAMES_SCHEMA.fields}
         for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
-            blob = bytes(blob) if blob is not None else b""
+            if blob is None:
+                continue  # no payload -> no frames (oracle: n IS NULL)
+            blob = bytes(blob)
             for idx, ts, sha in sample_frames(blob, len(blob) * 3):
                 rows["doc_id"].append(doc_id)
                 rows["frame_idx"].append(idx)

@@ -55,7 +55,7 @@ def hostile_dir(spark, tmp_path_factory):
 #: or that synthesize per-format binary payloads (covered by the
 #: dedicated hostile-row extraction tests in test_hostile_rows.py)
 _SKIP_PREFIXES = ("extract_", "events_", "orders_", "top_parts",
-                  "pricing_", "stream_", "multimodal_")
+                  "pricing_", "stream_")
 
 
 def test_all_corpus_ops_survive_hostile_rows(spark, hostile_dir):

@@ -26,7 +26,7 @@ from tools.check_oracles import value_hash  # noqa: E402
 #: satisfy (TPC-H relational, events, streaming, per-format binary
 #: synthesis — each exercised by its own dedicated hostile suite)
 SKIP_PREFIXES = ("extract_", "events_", "orders_", "top_parts",
-                 "pricing_", "stream_", "multimodal_")
+                 "pricing_", "stream_")
 
 
 @pytest.fixture(scope="module")
@@ -110,7 +110,8 @@ def test_all_corpus_ops_match_oracles_on_hostile_rows(spark, hostile_dir):
             "warc_extract_wet", "dedup_minhash_lsh", "dedup_embedding",
             "similarity_ann_ivf", "kmeans_embeddings", "semdedup",
             "bpe_encode", "lm_perplexity", "inverted_index",
-            "url_canonicalize", "bloom_url_blocklist"} <= set(ran)
+            "url_canonicalize", "bloom_url_blocklist",
+            "multimodal_meta", "multimodal_frames"} <= set(ran)
 
 
 @pytest.fixture(scope="module")
