@@ -45,7 +45,9 @@ def extract_stream_plain(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.encode(
             F.concat(
                 F.lit("<html><head><title>d</title></head><body><p>"),
-                F.col("text"),
+                # NULL text -> empty paragraph, not a NULL html row
+                # (same contract as the WARC/WET synthesis templates)
+                F.coalesce(F.col("text"), F.lit("")),
                 F.lit("</p></body></html>"),
             ),
             "UTF-8",
@@ -88,8 +90,8 @@ def extract_stream_plain(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 EXTRACT_STREAM_PLAIN_SQL = """
 SELECT doc_id, 'text/html' AS mime,
-       trim(regexp_replace(text, ' +', ' ', 'g')) || chr(10) || chr(10)
-         AS extracted_text
+       trim(regexp_replace(COALESCE(text, ''), '[ \t\n\r]+', ' ', 'g'))
+         || chr(10) || chr(10) AS extracted_text
 FROM documents
 """
 
@@ -111,7 +113,8 @@ def stream_dedup_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.col("doc_id").cast("string")).alias("url"),
         F.encode(
             F.expr(
-                "array_join(slice(regexp_extract_all(lower(text),"
+                "array_join(slice(regexp_extract_all("
+                "lower(coalesce(text, '')),"
                 " '[a-z0-9]+', 0), 1, 2), ' ')"
             ),
             "UTF-8",
@@ -150,8 +153,12 @@ def stream_dedup_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 STREAM_DEDUP_STATEFUL_SQL = """
 SELECT DISTINCT source AS host,
-       md5(array_to_string(
-         regexp_extract_all(lower(text), '[a-z0-9]+')[1:2], ' ')) AS fp
+       md5(COALESCE(array_to_string(
+         regexp_extract_all(lower(COALESCE(text, '')),
+                            '[a-z0-9]+')[1:2], ' '), '')) AS fp
+       -- outer COALESCE: DuckDB array_to_string([]) is NULL where
+       -- Spark array_join([]) is '' — token-less docs must
+       -- fingerprint as md5('') in both engines
 FROM documents
 """
 
@@ -169,7 +176,8 @@ def stream_dedup_native(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.col("doc_id").cast("string")).alias("url"),
         F.encode(
             F.expr(
-                "array_join(slice(regexp_extract_all(lower(text),"
+                "array_join(slice(regexp_extract_all("
+                "lower(coalesce(text, '')),"
                 " '[a-z0-9]+', 0), 1, 2), ' ')"
             ),
             "UTF-8",
@@ -314,7 +322,7 @@ def stream_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.encode(
             F.concat(
                 F.lit("<html><head><title>d</title></head><body><p>"),
-                F.col("text"),
+                F.coalesce(F.col("text"), F.lit("")),
                 F.lit("</p></body></html>"),
             ),
             "UTF-8",
@@ -369,15 +377,17 @@ def stream_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
 # redaction behavior is covered by the batch pii_redact oracle)
 STREAM_CORPUS_CLEAN_SQL = """
 SELECT doc_id,
-       CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT)
+       CAST(len(regexp_extract_all(lower(COALESCE(text, '')),
+                                   '[a-z0-9]+')) AS BIGINT)
          AS n_tok,
-       CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) >= 15
+       CAST(len(regexp_extract_all(lower(COALESCE(text, '')),
+                                   '[a-z0-9]+')) >= 15
             AS INT) AS keep_len,
        CAST(0 AS BIGINT) AS n_pii_emails,
        CAST(0 AS BIGINT) AS n_pii_phones,
        CAST(0 AS BIGINT) AS n_pii_ips,
-       trim(regexp_replace(text, ' +', ' ', 'g')) || chr(10) || chr(10)
-         AS clean_text
+       trim(regexp_replace(COALESCE(text, ''), '[ \t\n\r]+', ' ', 'g'))
+         || chr(10) || chr(10) AS clean_text
 FROM documents
 """
 

@@ -55,7 +55,8 @@ def hostile_dir(spark, tmp_path_factory):
 #: or that synthesize per-format binary payloads (covered by the
 #: dedicated hostile-row extraction tests in test_hostile_rows.py)
 _SKIP_PREFIXES = ("extract_", "events_", "orders_", "top_parts",
-                  "pricing_", "stream_")
+                  "pricing_")
+_SKIP_NAMES = {"stream_events_windowed"}  # needs the events table
 
 
 def test_all_corpus_ops_survive_hostile_rows(spark, hostile_dir):
@@ -65,7 +66,7 @@ def test_all_corpus_ops_survive_hostile_rows(spark, hostile_dir):
     qs = entry.queries()
     ran = []
     for name, fn in sorted(qs.items()):
-        if name.startswith(_SKIP_PREFIXES):
+        if name.startswith(_SKIP_PREFIXES) or name in _SKIP_NAMES:
             continue
         df = fn(spark, hostile_dir)
         # collect, NOT count: count() lets column pruning skip the

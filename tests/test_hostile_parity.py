@@ -23,10 +23,14 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 from tools.check_oracles import value_hash  # noqa: E402
 
 #: ops whose fixtures need tables/columns the hostile corpus can't
-#: satisfy (TPC-H relational, events, streaming, per-format binary
-#: synthesis — each exercised by its own dedicated hostile suite)
+#: satisfy (TPC-H relational, events, per-format binary synthesis —
+#: each exercised by its own dedicated hostile suite)
 SKIP_PREFIXES = ("extract_", "events_", "orders_", "top_parts",
-                 "pricing_", "stream_")
+                 "pricing_")
+SKIP_NAMES = {"stream_events_windowed"}  # needs the events table
+#: skipped by prefix but runnable on the hostile documents table —
+#: a real Structured Streaming extraction over the degenerate rows
+INCLUDE_NAMES = {"extract_stream_plain"}
 
 
 @pytest.fixture(scope="module")
@@ -87,7 +91,9 @@ def test_all_corpus_ops_match_oracles_on_hostile_rows(spark, hostile_dir):
         )
     mismatches, ran = [], []
     for name in sorted(qs):
-        if name.startswith(SKIP_PREFIXES) or name not in oracles:
+        skipped = (name.startswith(SKIP_PREFIXES)
+                   and name not in INCLUDE_NAMES) or name in SKIP_NAMES
+        if skipped or name not in oracles:
             continue
         df = qs[name](spark, hostile_dir)
         cols = df.columns
@@ -111,7 +117,9 @@ def test_all_corpus_ops_match_oracles_on_hostile_rows(spark, hostile_dir):
             "similarity_ann_ivf", "kmeans_embeddings", "semdedup",
             "bpe_encode", "lm_perplexity", "inverted_index",
             "url_canonicalize", "bloom_url_blocklist",
-            "multimodal_meta", "multimodal_frames"} <= set(ran)
+            "multimodal_meta", "multimodal_frames",
+            "extract_stream_plain", "stream_dedup_stateful",
+            "stream_dedup_native", "stream_corpus_clean"} <= set(ran)
 
 
 @pytest.fixture(scope="module")
