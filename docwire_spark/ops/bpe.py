@@ -267,13 +267,26 @@ def _sql_fold_on(t: str, syms_expr: str, lvl: str) -> str:
 
 
 def _bpe_encode_sql() -> str:
-    # training CTE chain (identical to BPE_TRAIN_SQL's), then encode
+    # training CTE chain (like BPE_TRAIN_SQL's), then encode.  One
+    # difference from the train oracle: each t{s} is padded to EXACTLY
+    # one row with an inert sentinel merge when pc{s} is empty (corpus
+    # with fewer than BPE_MERGES learnable merges) — the enc CTE
+    # cross-joins documents with every t{s}, and an empty t{s} would
+    # collapse the whole result to 0 rows while Spark still emits one
+    # row per document.  The 2-char chr(30)chr(30) sentinel can never
+    # match a fold symbol: when pc{s} is empty no adjacent pair exists
+    # for it to merge, so the fold is the identity — exactly what the
+    # Spark side's shorter merge list does at that level.
     its = []
     for s in range(1, BPE_MERGES + 1):
         its.append(f"pc{s} AS ({_sql_pair_counts(f'w{s}')})")
         its.append(
-            f"t{s} AS (SELECT a, b, c FROM pc{s}"
+            f"t{s} AS ((SELECT a, b, c FROM pc{s}"
             " ORDER BY c DESC, a, b LIMIT 1)"
+            " UNION ALL"
+            " SELECT chr(30) || chr(30), chr(30) || chr(30),"
+            " CAST(0 AS BIGINT)"
+            f" WHERE NOT EXISTS (SELECT 1 FROM pc{s}))"
         )
         if s < BPE_MERGES:
             its.append(

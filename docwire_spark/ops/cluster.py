@@ -32,7 +32,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .common import load  # noqa: F401  (kept for other tables)
 from .dedup import EMB_VALID_SQL, load_valid_embeddings
 
 K = 10
@@ -92,6 +91,13 @@ def _lloyd_assign(vecs: DataFrame) -> DataFrame:
         .orderBy("vec_id")
         .collect()
     )
+    if not seeds:
+        # every seed row dropped by the validity guard (or absent):
+        # the oracle's c0 cross join makes the assignment the EMPTY
+        # relation — return it, never crash on int(None) downstream
+        return vecs.sparkSession.createDataFrame(
+            [], "vec_id bigint, emb array<double>, cluster int"
+        )
     cents = [(int(r["vec_id"]), list(r["emb"])) for r in seeds]
     assigned = None
     for _ in range(ITERS):

@@ -90,7 +90,7 @@ def extract_stream_plain(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 EXTRACT_STREAM_PLAIN_SQL = """
 SELECT doc_id, 'text/html' AS mime,
-       trim(regexp_replace(COALESCE(text, ''), '[ \t\n\r]+', ' ', 'g'))
+       trim(regexp_replace(COALESCE(text, ''), '[ \t\n\r\f\v]+', ' ', 'g'))
          || chr(10) || chr(10) AS extracted_text
 FROM documents
 """
@@ -386,7 +386,7 @@ SELECT doc_id,
        CAST(0 AS BIGINT) AS n_pii_emails,
        CAST(0 AS BIGINT) AS n_pii_phones,
        CAST(0 AS BIGINT) AS n_pii_ips,
-       trim(regexp_replace(COALESCE(text, ''), '[ \t\n\r]+', ' ', 'g'))
+       trim(regexp_replace(COALESCE(text, ''), '[ \t\n\r\f\v]+', ' ', 'g'))
          || chr(10) || chr(10) AS clean_text
 FROM documents
 """

@@ -203,7 +203,7 @@ def warc_extract_wet(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 WARC_EXTRACT_WET_SQL = f"""
 SELECT {_URL_DUCK} AS url,
-       trim(regexp_replace(COALESCE(text, ''), '[ \t\n\r]+', ' ', 'g'))
+       trim(regexp_replace(COALESCE(text, ''), '[ \t\n\r\f\v]+', ' ', 'g'))
          || chr(10) || chr(10) AS extracted_text
 FROM documents
 """
@@ -211,8 +211,9 @@ FROM documents
 # as an empty <p> and the kernel's whitespace machine renders an
 # empty paragraph as just the paragraph break — which is exactly
 # trim(collapse('')) || '\n\n'.  The collapse class matches the
-# HTML whitespace set (space/tab/newline/CR), not just spaces, so
-# whitespace-only text reconstructs identically too.
+# kernel's ASCII whitespace run (space/tab/newline/CR/formfeed/
+# vertical-tab — html_extract._ASCII_WS_RUN), so whitespace-only
+# and control-whitespace text reconstruct identically too.
 
 
 QUERIES = {

@@ -141,26 +141,35 @@ def test_encode_matches_python_reference(spark, tmp_path):
         assert r.n_words == len(re.findall(r"[a-z0-9]+", t.lower()))
 
 
-def test_train_wall_independent_of_n_merges(spark, monkeypatch):
+def test_train_spark_actions_independent_of_n_merges(spark, monkeypatch):
     """VERDICT r4 #4 'done' gate: Spark work is ONE corpus pass
     regardless of n_merges (the merge loop is driver-local over the
-    collected <= BPE_VOCAB_CAP frequency table), so 10x the merges
-    must cost well under 2x the wall."""
-    import time
+    collected <= BPE_VOCAB_CAP frequency table).  Asserted on the
+    SPARK ACTION COUNT, not wall clock — this box's noisy neighbor
+    makes wall-ratio assertions flaky (BENCH/BASELINE.md appendix),
+    and the actual claim is 'no per-merge Spark job'."""
+    # Spark 4 splits the API: the CLASSIC class carries the executing
+    # collect(); patching the pyspark.sql.DataFrame base misses it
+    from pyspark.sql.classic.dataframe import DataFrame as _DF
 
-    B._train_merges(spark, SF)  # warm (JVM, scan cache)
+    calls = {"n": 0}
+    orig = _DF.collect
+
+    def counting(self):
+        calls["n"] += 1
+        return orig(self)
+
+    monkeypatch.setattr(_DF, "collect", counting)
     monkeypatch.setattr(B, "BPE_MERGES", 3)
-    t0 = time.time()
     m3 = B._train_merges(spark, SF)
-    t3 = time.time() - t0
+    n3, calls["n"] = calls["n"], 0
     monkeypatch.setattr(B, "BPE_MERGES", 30)
-    t0 = time.time()
     m30 = B._train_merges(spark, SF)
-    t30 = time.time() - t0
+    n30 = calls["n"]
     # greedy BPE is deterministic: the longer run extends the shorter
     assert m30[: len(m3)] == m3
     assert len(m30) == 30
-    assert t30 < 2 * t3 + 1.0, (t3, t30)
+    assert n3 == n30 == 1, (n3, n30)  # one vocab collect, zero per merge
 
 
 def test_encode_plan_is_shuffle_free_map_pass(spark):
@@ -172,3 +181,49 @@ def test_encode_plan_is_shuffle_free_map_pass(spark):
     # one Exchange from load(parallelize=True)'s right-sizing only
     assert plan.count("Exchange") <= 1, plan
     assert "CartesianProduct" not in plan
+
+
+@pytest.mark.parametrize("tag,docs", [
+    # fewer learnable merges than BPE_MERGES: every token 1 char
+    ("zero", [(0, "a b c", "en", "s0", 5), (1, "x y z", "en", "s1", 5)]),
+    # exactly one learnable merge
+    ("one", [(0, "ab ab ab", "en", "s0", 8), (1, "c d", "en", "s1", 3)]),
+    # token-less corpus (NULL + empty text)
+    ("empty", [(0, None, "en", "s0", 0), (1, "", "en", "s1", 0)]),
+])
+def test_bpe_oracles_on_merge_starved_corpora(spark, tmp_path, tag, docs):
+    """The encode oracle cross-joins documents with every t1..tN merge
+    CTE; a corpus with fewer than BPE_MERGES learnable merges must NOT
+    collapse it to 0 rows (the inert-sentinel padding) — Spark emits
+    one row per document regardless, and both engines must agree."""
+    import os
+
+    import duckdb
+
+    from tools.check_oracles import value_hash
+
+    d = str(tmp_path / tag)
+    os.makedirs(d)
+    spark.createDataFrame(
+        docs, "doc_id bigint, text string, lang string, source string,"
+        " n_chars bigint"
+    ).coalesce(1).write.parquet(os.path.join(d, "documents.parquet"))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{os.path.join(d, 'documents.parquet', '*.parquet')}'"
+    )
+    for name, fn, sql in (("bpe_train", B.bpe_train, B.BPE_TRAIN_SQL),
+                          ("bpe_encode", B.bpe_encode, B.BPE_ENCODE_SQL)):
+        df = fn(spark, d)
+        cols = df.columns
+        rows = [tuple(r) for r in df.collect()]
+        res = con.execute(sql)
+        ocols = [c[0] for c in res.description]
+        orows = res.fetchall()
+        assert sorted(cols) == sorted(ocols), (tag, name)
+        assert len(rows) == len(orows), (tag, name, len(rows), len(orows))
+        assert value_hash(rows, cols) == value_hash(orows, ocols), (tag, name)
+    if tag != "one":
+        # encode must still emit one row per document
+        assert len(B.bpe_encode(spark, d).collect()) == len(docs)

@@ -51,6 +51,9 @@ def hostile_dir(spark, tmp_path_factory):
         (26, "x", "en", "src2", 1),            # one token
         (27, "   \t\n  ", "en", "src3", 7),    # whitespace only
         (28, "7", None, None, 1),              # NULL lang + source
+        # form feed + vertical tab: in the kernel's ASCII-whitespace
+        # run but easy to omit from an oracle's collapse class
+        (29, "alpha\fbeta\vgamma", "en", "src4", 16),
     ]
     spark.createDataFrame(
         docs, "doc_id bigint, text string, lang string, source string,"

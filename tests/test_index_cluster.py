@@ -163,3 +163,43 @@ def test_kmeans_assignment_pass_has_no_join_or_shuffle(spark):
     assert "Join" not in plan
     assert "Exchange" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_kmeans_semdedup_survive_all_invalid_seed_rows(spark, tmp_path):
+    """Every seed row (vec_id < K) NULL or wrong-dimension — the exact
+    rows the embedding validity guard exists to drop.  Both ops must
+    return the oracle's EMPTY relation (its c0 cross join is empty),
+    never crash on int(None) in the centroid recompute."""
+    import os
+
+    import duckdb
+
+    from docwire_spark.ops import cluster as C
+    from docwire_spark.ops.common import release_persisted
+    from tools.check_oracles import value_hash
+
+    d = str(tmp_path)
+    vecs = [(i, None if i % 2 == 0 else [1.0, 2.0], i % 8)
+            for i in range(C.K)]
+    vecs += [(i, [float((i * 7 + j) % 13) - 6.0 for j in range(C.DIM)],
+              i % 8) for i in range(C.K, 40)]
+    spark.createDataFrame(
+        vecs, "vec_id bigint, embedding array<float>, label int"
+    ).coalesce(1).write.parquet(os.path.join(d, "embeddings.parquet"))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"'{os.path.join(d, 'embeddings.parquet', '*.parquet')}'"
+    )
+    for fn, sql in ((C.kmeans_embeddings, C.KMEANS_SQL),
+                    (C.semdedup, C.SEMDEDUP_SQL)):
+        df = fn(spark, d)
+        cols = df.columns
+        rows = [tuple(r) for r in df.collect()]
+        release_persisted()
+        res = con.execute(sql)
+        ocols = [c[0] for c in res.description]
+        orows = res.fetchall()
+        assert sorted(cols) == sorted(ocols)
+        assert len(rows) == len(orows) == 0
+        assert value_hash(rows, cols) == value_hash(orows, ocols)

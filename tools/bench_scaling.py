@@ -233,7 +233,9 @@ never silently treated as a perfect control).
 **{round(eff, 3)}** — raw gate ≥ 0.8: **{result['gate_raw']}**.
 **Box control** (same budgets, no Spark, interleaved,
 n_docs={args.control_n_docs}): **{
-    round(ctl_eff, 3) if control_ok else 'FAILED — raw gate governs'}**
+    round(ctl_eff, 3) if control_ok
+    else 'skipped (--no-bind) — raw gate governs' if not bind
+    else 'FAILED — raw gate governs'}**
 (low {control['control_low']['docs_per_sec'] if control else 'n/a'}
 docs/s x{control['control_low']['width'] if control else '-'} /
 high {control['control_high']['docs_per_sec'] if control else 'n/a'}
