@@ -319,15 +319,23 @@ def orders_fulfillment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# EXISTS / NOT EXISTS, not IN / NOT IN: a single NULL l_orderkey row
+# turns NOT IN into UNKNOWN for EVERY order (the classic NULL trap),
+# emptying the anti side — while Spark's left_anti join is NULL-safe.
+# The correlated form has exactly the anti-join's semantics.
 ORDERS_FULFILLMENT_SQL = """
 WITH w AS (
   SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_with_lineitems
-  FROM orders WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem)
+  FROM orders o
+  WHERE EXISTS (SELECT 1 FROM lineitem l
+                WHERE l.l_orderkey = o.o_orderkey)
   GROUP BY o_orderstatus
 ),
 wo AS (
   SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_without_lineitems
-  FROM orders WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem)
+  FROM orders o
+  WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                    WHERE l.l_orderkey = o.o_orderkey)
   GROUP BY o_orderstatus
 )
 SELECT COALESCE(w.o_orderstatus, wo.o_orderstatus) AS o_orderstatus,

@@ -179,3 +179,79 @@ def test_events_ops_match_oracles_on_null_rows(spark, hostile_events_dir):
         assert value_hash(rows, cols) == value_hash(orows, ocols), name
 
 
+
+
+@pytest.fixture(scope="module")
+def hostile_tpch_dir(spark, tmp_path_factory):
+    """TPC-H-shaped tables salted with NULL keys, NULL measures, NULL
+    group columns and an orphan foreign key — the degenerate rows that
+    expose NULL-join/NOT-IN semantics differences between engines."""
+    import datetime
+
+    T = datetime.datetime
+    d = str(tmp_path_factory.mktemp("hostiletpch"))
+    orders = [
+        (1, 10, "O", 100.0, T(1997, 1, 1), "1-URGENT"),
+        (2, 11, "F", 200.0, T(1997, 2, 1), "2-HIGH"),
+        (3, 10, "O", None, T(1997, 3, 1), None),        # NULL price
+        (None, 12, "F", 50.0, None, "3-MEDIUM"),        # NULL orderkey
+        (5, None, None, 75.0, T(1997, 5, 1), "4-LOW"),  # NULL cust+status
+    ]
+    lineitem = [
+        (1, 100, 1, 1, 5.0, 1000.0, 0.1, 0.0, "A", "F", T(1997, 1, 2)),
+        (1, 101, 1, 2, None, 500.0, 0.0, 0.0, "A", "F", T(1997, 1, 3)),
+        (2, 100, 1, 1, 3.0, None, None, 0.0, "R", "O", None),
+        # NULL l_orderkey: the row that poisons a NOT IN anti side
+        (None, 102, 1, 1, 1.0, 10.0, 0.0, 0.0, None, None,
+         T(1997, 2, 2)),
+        (99, 103, 1, 1, 2.0, 20.0, 0.5, 0.0, "N", "O", T(1997, 3, 3)),
+    ]
+    customer = [(10, "alice", 1, 0.0, "SEG"), (11, "bob", None, 0.0, None),
+                (12, None, 2, None, "SEG")]
+    nation = [(1, "FRANCE", 0), (2, None, 0), (None, "NOKEY", 0)]
+    spark.createDataFrame(
+        orders, "o_orderkey bigint, o_custkey bigint, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string"
+    ).coalesce(1).write.parquet(os.path.join(d, "orders.parquet"))
+    spark.createDataFrame(
+        lineitem, "l_orderkey bigint, l_partkey bigint, l_suppkey bigint,"
+        " l_linenumber int, l_quantity double, l_extendedprice double,"
+        " l_discount double, l_tax double, l_returnflag string,"
+        " l_linestatus string, l_shipdate timestamp"
+    ).coalesce(1).write.parquet(os.path.join(d, "lineitem.parquet"))
+    spark.createDataFrame(
+        customer, "c_custkey bigint, c_name string, c_nationkey int,"
+        " c_acctbal double, c_mktsegment string"
+    ).coalesce(1).write.parquet(os.path.join(d, "customer.parquet"))
+    spark.createDataFrame(
+        nation, "n_nationkey int, n_name string, n_regionkey int"
+    ).coalesce(1).write.parquet(os.path.join(d, "nation.parquet"))
+    return d
+
+
+def test_relational_ops_match_oracles_on_null_keys(spark, hostile_tpch_dir):
+    """NULL join keys, NULL group keys and NULL measures through the
+    relational shell: Spark's semi/anti joins are NULL-safe where
+    SQL IN / NOT IN are NULL-poisoned — the oracle must use the
+    correlated EXISTS form (this test caught orders_fulfillment's
+    NOT IN emptying the anti side on one NULL l_orderkey row)."""
+    import __spark_entry__ as entry
+
+    qs, oracles = entry.queries(), entry.oracle_sql()
+    con = duckdb.connect()
+    for t in ("orders", "lineitem", "customer", "nation"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"'{os.path.join(hostile_tpch_dir, t + '.parquet', '*.parquet')}'"
+        )
+    for name in ("orders_by_nation", "orders_fulfillment",
+                 "pricing_summary", "top_parts_by_flag"):
+        df = qs[name](spark, hostile_tpch_dir)
+        cols = df.columns
+        rows = [tuple(r) for r in df.collect()]
+        res = con.execute(oracles[name])
+        ocols = [c[0] for c in res.description]
+        orows = res.fetchall()
+        assert sorted(cols) == sorted(ocols), name
+        assert len(rows) == len(orows), (name, len(rows), len(orows))
+        assert value_hash(rows, cols) == value_hash(orows, ocols), name
