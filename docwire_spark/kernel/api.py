@@ -28,7 +28,7 @@ from docwire_spark.kernel import events as E
 from docwire_spark.kernel.charset import ensure_html_utf8
 from docwire_spark.kernel.html_extract import html_to_events
 from docwire_spark.kernel.renderer import render_plain_text
-from docwire_spark.kernel.sniff import CONFIDENCE_NAMES, detect_mime
+from docwire_spark.kernel.sniff import CONFIDENCE_NAMES, HIGH, detect_mime
 from docwire_spark.kernel.txt_extract import txt_to_events
 from docwire_spark.kernel.xml_extract import xml_to_events
 
@@ -106,6 +106,7 @@ def extract(
     attachment_types: list | None = None,
     mail_max_creation_time: int | None = None,
     max_node_number: int | None = None,
+    mime_hint: str | None = None,
     _depth: int = 0,
 ) -> ExtractResult:
     """``exports`` ⊆ {'html', 'meta_text', 'csv'} adds the optional
@@ -117,7 +118,13 @@ def extract(
     ``folder_names`` / ``attachment_types`` /
     ``mail_max_creation_time`` / ``max_node_number`` apply the rest of
     the standard_filter family (standard_filter.h:38-62) as
-    event-stream transforms — see kernel/standard_filter.py."""
+    event-stream transforms — see kernel/standard_filter.py.
+    ``mime_hint`` pins the media type at HIGH confidence before
+    sniffing (the reference's http_server.cpp:144-155 adds the
+    request Content-Type to the data_source the same way, and the
+    by_signature/by_file_extension detectors then skip); the
+    zip→iWork and OLE2→office refinements still apply, as their
+    reference detectors override at HIGHEST confidence."""
     res = ExtractResult(url=url)
     _tok = _MAIL_MIN_CTIME.set(mail_min_creation_time) \
         if mail_min_creation_time is not None else None
@@ -133,7 +140,10 @@ def extract(
     }
     _ftok = _STD_FILTERS.set(filters) if filters else None
     try:
-        mime, conf = detect_mime(data[:SNIFF_PREFIX_BYTES], url)
+        if mime_hint:
+            mime, conf = mime_hint, HIGH
+        else:
+            mime, conf = detect_mime(data[:SNIFF_PREFIX_BYTES], url)
         res.mime = mime
         res.mime_confidence = CONFIDENCE_NAMES[conf]
         from docwire_spark.kernel.archive_extract import ARCHIVE_MIMES
