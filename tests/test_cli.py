@@ -1,0 +1,119 @@
+"""CLI tests: ``python -m docwire_spark`` mirrors the reference
+``docwire [options] file_name`` binary (src/docwire.cpp:165-330) —
+byte-identical exporter output on stdout, stdin input, the
+standard-filter flags, --http-post forwarding, and error exit codes.
+"""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+from tests.conftest import REFERENCE_TESTS, reference_fixture
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_cli(*args, stdin: bytes | None = None):
+    return subprocess.run(
+        [sys.executable, "-m", "docwire_spark", *args],
+        input=stdin,
+        capture_output=True,
+        cwd=REPO_ROOT,
+        timeout=120,
+    )
+
+
+def test_plain_text_byte_identical():
+    expected = reference_fixture("1.html.out")
+    proc = run_cli(os.path.join(REFERENCE_TESTS, "1.html"))
+    assert proc.returncode == 0, proc.stderr
+    assert proc.stdout == expected
+
+
+def test_html_export_byte_identical():
+    expected = reference_fixture("1.html.out.html")
+    proc = run_cli("--output_type", "html",
+                   os.path.join(REFERENCE_TESTS, "1.html"))
+    assert proc.returncode == 0, proc.stderr
+    assert proc.stdout == expected
+
+
+def test_stdin_with_mime_pin():
+    data = b"<html><body>from stdin</body></html>"
+    proc = run_cli("-", "--mime-type", "text/html", stdin=data)
+    assert proc.returncode == 0, proc.stderr
+    assert proc.stdout == b"from stdin\n"
+
+
+def test_metadata_export_runs():
+    proc = run_cli("--output_type", "metadata",
+                   os.path.join(REFERENCE_TESTS, "1.html"))
+    assert proc.returncode == 0, proc.stderr
+    assert proc.stdout  # metadata exporter always renders a block
+
+
+def test_missing_file_exit_1():
+    proc = run_cli("/nonexistent/file.html")
+    assert proc.returncode == 1
+    assert proc.stderr.startswith(b"Error: ")
+
+
+def test_extraction_error_exit_1():
+    bad = os.path.join(REFERENCE_TESTS, "1.html")
+    proc = run_cli("-", "--mime-type", "application/pdf",
+                   stdin=b"%PDF-1.4 not really a pdf")
+    assert proc.returncode == 1
+    assert proc.stderr.startswith(b"Error: "), (proc.stdout, proc.stderr,
+                                                bad)
+
+
+def test_version():
+    proc = run_cli("--version")
+    assert proc.returncode == 0
+    assert proc.stdout.startswith(b"docwire_spark ")
+
+
+def test_max_nodes_filter_truncates():
+    """--max_nodes_number mirrors filterByMaxNodeNumber
+    (continuation::stop after N nodes, standard_filter.h:58-62)."""
+    full = run_cli(os.path.join(REFERENCE_TESTS, "1.html"))
+    capped = run_cli("--max_nodes_number", "2",
+                     os.path.join(REFERENCE_TESTS, "1.html"))
+    assert capped.returncode == 0, capped.stderr
+    assert len(capped.stdout) < len(full.stdout)
+
+
+@pytest.fixture()
+def echo_server():
+    import http.server
+    import threading
+
+    class Echo(http.server.BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_POST(self):
+            n = int(self.headers.get("Content-Length") or 0)
+            body = b"echoed:" + self.rfile.read(n)
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+    httpd = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Echo)
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    yield f"http://127.0.0.1:{httpd.server_address[1]}"
+    httpd.shutdown()
+    httpd.server_close()
+
+
+def test_http_post_forwarding(echo_server):
+    """--http-post sends the output through http::post and prints the
+    response (docwire.cpp chain insertion; post.cpp:184)."""
+    expected = b"echoed:" + reference_fixture("1.html.out")
+    proc = run_cli(os.path.join(REFERENCE_TESTS, "1.html"),
+                   "--http-post", echo_server + "/sink")
+    assert proc.returncode == 0, proc.stderr
+    assert proc.stdout == expected
