@@ -68,21 +68,40 @@ class PipelineError(RuntimeError):
     http_server.cpp:176-181)."""
 
 
-def extraction_pipeline(**extract_kwargs):
-    """Default route pipeline: full-format extraction to plain text
-    (the reference's canonical ``parser | plain_text_exporter`` route).
+#: --output_type / route exporter -> (extract() exports entry,
+#: ExtractResult field, response media type) — the reference CLI's
+#: four exporters (docwire.cpp:314-328)
+OUTPUT_TYPES = {
+    "plain_text": (None, "text", "text/plain"),
+    "html": ("html", "html", "text/html"),
+    "csv": ("csv", "csv", "text/csv"),
+    "metadata": ("meta_text", "meta_text", "text/plain"),
+}
+
+
+def extraction_pipeline(output_type: str = "plain_text",
+                        **extract_kwargs):
+    """Default route pipeline: full-format extraction rendered by one
+    of the reference's four exporters (``parser | <exporter>``,
+    docwire.cpp:314-328; default plain_text).
 
     Returns a callable ``(body: bytes, mime_hint: str | None) ->
     (bytes, str)`` suitable for :class:`PipelineServer` routes.  A
     per-document extraction error becomes :class:`PipelineError` so
     the server maps it to the reference's "Pipeline Error:" 500.
     """
+    export, out_field, media_type = OUTPUT_TYPES[output_type]
+    if export:
+        extract_kwargs = {
+            **extract_kwargs,
+            "exports": (*extract_kwargs.get("exports", ()), export),
+        }
 
     def pipeline(body: bytes, mime_hint: str | None = None):
         res = extract(body, mime_hint=mime_hint, **extract_kwargs)
         if res.error:
             raise PipelineError(res.error)
-        return res.text, "text/plain"
+        return getattr(res, out_field), media_type
 
     return pipeline
 

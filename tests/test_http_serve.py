@@ -43,6 +43,7 @@ def _post(url, body, content_type=None, method="POST"):
 def server():
     routes = {
         "/extract": extraction_pipeline(),
+        "/extract-html": extraction_pipeline(output_type="html"),
         re.compile(r"/v\d+/extract"): extraction_pipeline(),
         "/boom": lambda body, mime: (_ for _ in ()).throw(
             ValueError("kaboom")
@@ -66,6 +67,18 @@ def test_extraction_route_byte_identical(server):
                                 "text/html")
     assert status == 200
     assert ctype == "text/plain"
+    assert body == expected
+
+
+def test_html_exporter_route(server):
+    """A route can serve any of the reference CLI's four exporters
+    (docwire.cpp:314-328) — html render is byte-identical too."""
+    data = reference_fixture("1.html")
+    expected = reference_fixture("1.html.out.html")
+    status, body, ctype = _post(server.url + "/extract-html", data,
+                                "text/html")
+    assert status == 200
+    assert ctype == "text/html"
     assert body == expected
 
 
