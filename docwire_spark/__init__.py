@@ -14,6 +14,11 @@ DocWire SDK (reference: silver-byte/docwire), re-expressed Spark-first:
   dedup (exact / minhash-LSH / simhash / n-gram jaccard), similarity
   search over embeddings, language id, quality scoring, tokenization,
   fingerprinting.
+- ``ops``      — the oracle-checked corpus operator registry (dedup,
+  similarity/ANN, LM filtering, packing, web-graph, WARC, streaming).
+- ``serve``    — the HTTP edge surface (pipeline-over-POST server and
+  the ``http::post`` element); ``cli`` — the single-document
+  ``python -m docwire_spark`` command.
 """
 
 __version__ = "0.1.0"

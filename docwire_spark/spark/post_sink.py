@@ -70,10 +70,26 @@ def post_rows(
                 }
                 if bearer_token:
                     headers["Authorization"] = f"Bearer {bearer_token}"
-                if conn is None:
-                    conn = conn_cls(host, port, timeout=timeout)
-                conn.request("POST", path, body=body, headers=headers)
-                resp = conn.getresponse()
+                for attempt in (0, 1):
+                    if conn is None:
+                        conn = conn_cls(host, port, timeout=timeout)
+                    try:
+                        conn.request(
+                            "POST", path, body=body, headers=headers
+                        )
+                        resp = conn.getresponse()
+                        break
+                    except (
+                        http.client.RemoteDisconnected,
+                        BrokenPipeError,
+                        ConnectionResetError,
+                    ):
+                        # the server dropped the idle keep-alive
+                        # between rows — reconnect and resend once
+                        conn.close()
+                        conn = None
+                        if attempt:
+                            raise
                 resp.read()  # drain so the connection can be reused
                 if not 200 <= resp.status <= 299:
                     raise RuntimeError(

@@ -271,6 +271,65 @@ def test_post_rows_foreach_partition(spark, capture_server):
     assert headers["Authorization"] == "Bearer btok"
 
 
+def test_post_rows_retries_stale_keepalive(spark):
+    """A receiver that drops the connection after each response
+    without advertising Connection: close (an idle-timeout proxy, an
+    HTTP/1.0 middlebox) must not fail the partition — the sink
+    reconnects and resends once per row."""
+    import socket
+
+    srv = socket.socket()
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(8)
+    served = []
+
+    def _serve():
+        while True:
+            try:
+                client, _ = srv.accept()
+            except OSError:
+                return
+            try:
+                data = b""
+                while b"\r\n\r\n" not in data:
+                    chunk = client.recv(65536)
+                    if not chunk:
+                        break
+                    data += chunk
+                if b"\r\n\r\n" not in data:
+                    continue
+                head, body = data.split(b"\r\n\r\n", 1)
+                length = 0
+                for line in head.split(b"\r\n"):
+                    if line.lower().startswith(b"content-length:"):
+                        length = int(line.split(b":", 1)[1])
+                while len(body) < length:
+                    body += client.recv(65536)
+                served.append(body)
+                # claim HTTP/1.1 keep-alive, then close anyway
+                client.sendall(
+                    b"HTTP/1.1 200 OK\r\nContent-Length: 0\r\n\r\n"
+                )
+            finally:
+                client.close()
+
+    thread = threading.Thread(target=_serve, daemon=True)
+    thread.start()
+    try:
+        from docwire_spark.spark.post_sink import post_rows
+
+        port = srv.getsockname()[1]
+        df = spark.createDataFrame(
+            [(f"row {i}",) for i in range(5)], "text string"
+        ).coalesce(1)
+        post_rows(df, f"http://127.0.0.1:{port}/x")
+        assert sorted(served) == sorted(
+            f"row {i}".encode() for i in range(5)
+        )
+    finally:
+        srv.close()
+
+
 def test_post_rows_non_2xx_fails_job(spark, capture_server):
     from py4j.protocol import Py4JJavaError
 
