@@ -85,7 +85,9 @@ PRIORITY_WINDOW = [
     # pricing_summary covered are the lowest-risk queries in the
     # registry — slots ceded to round-4-new ops, which the r3 verdict
     # ranks strictly higher than re-confirming unchanged green rows)
-    "events_user_sessions", "orders_fulfillment", "source_salted_agg",
+    # (source_salted_agg ceded its slot to the r5-new AI family: its
+    # salted-agg shape is driver-green r2-r4 and unchanged)
+    "events_user_sessions", "orders_fulfillment",
     "events_asof_attribution",
     # WARC/WET container family, now COMPLETE in-window (4; VERDICT r4
     # #1: wet_roundtrip + warc_cdx had never received a driver row)
@@ -98,13 +100,21 @@ PRIORITY_WINDOW = [
     # joins the window — never driver-verified before r5; the r5-new
     # dedup_substring takes dedup_exact's slot, whose trivial
     # hash-groupBy shape is green r1-r4 and unchanged)
+    # (dedup_canonical_select / similarity_topk / train_shuffle_export
+    # ceded slots to the r5-new AI family: all driver-green r4 and
+    # unchanged; their families stay covered below)
     "dedup_substring", "dedup_minhash_lsh",
     "dedup_simhash_pairs", "dedup_embedding", "dedup_chunk_exact",
-    "dedup_chunk_rewrite", "dedup_components", "dedup_canonical_select",
-    # similarity / graph / packing / diff / multimodal (9)
-    "similarity_topk", "similarity_ann_lsh", "similarity_ann_ivf",
-    "pagerank", "pack_sequences", "train_shuffle_export", "corpus_diff",
+    "dedup_chunk_rewrite", "dedup_components",
+    # similarity / graph / packing / diff / multimodal (7)
+    "similarity_ann_lsh", "similarity_ann_ivf",
+    "pagerank", "pack_sequences", "corpus_diff",
     "multimodal_meta", "multimodal_frames",
+    # AI transform family (5; r5-new — deterministic task analogs of
+    # the reference's openai::summarize/detect_sentiment/classify/
+    # extract_keywords/embed chain elements, ops/ai_transform.py)
+    "ai_sentiment", "ai_classify", "ai_keywords", "ai_summarize",
+    "ai_embed_hash",
     # sketches / layout / classify (5)
     "bloom_url_blocklist", "ml_quality_score", "hll_registers",
     "zorder_layout", "cms_grid",
@@ -123,7 +133,10 @@ PRIORITY_WINDOW = [
     # c4_line_filter and link_graph join the window — never
     # driver-verified before r5, completing the 93/93 union with the
     # WARC/bpe/chunk additions above per VERDICT r4 next-round #1)
-    "lm_perplexity", "dsir_select", "semdedup", "ml_quality_train",
+    # (ml_quality_train ceded its slot to the r5-new AI family:
+    # driver-green r4, unchanged; classify stays covered by
+    # ml_quality_score above)
+    "lm_perplexity", "dsir_select", "semdedup",
     "redirect_chains", "anchor_text", "robots_filter",
     "frontier_schedule", "c4_line_filter", "link_graph",
     # extraction representatives (3; the 6 ceded roundtrip slots —
@@ -138,16 +151,17 @@ PRIORITY_WINDOW = [
 
 def _collect():
     from docwire_spark.ops import (
-        bloom, bpe, chunking, classify, cluster, cms, corpus_filter, dedup,
-        diff, extraction, extraction_binary, graph, hll, index, lm_filter,
-        multimodal, packing, relational, similarity, stream_extract,
-        textstats, warc_ops, web, zorder,
+        ai_transform, bloom, bpe, chunking, classify, cluster, cms,
+        corpus_filter, dedup, diff, extraction, extraction_binary, graph,
+        hll, index, lm_filter, multimodal, packing, relational, similarity,
+        stream_extract, textstats, warc_ops, web, zorder,
     )
 
     modules = (warc_ops, extraction, extraction_binary, stream_extract,
                textstats, corpus_filter, lm_filter, bpe, index, cluster,
                web, graph, packing, diff, dedup, similarity, multimodal,
-               relational, bloom, classify, hll, zorder, cms, chunking)
+               relational, bloom, classify, hll, zorder, cms, chunking,
+               ai_transform)
     all_q: dict[str, Callable] = {}
     all_o: dict[str, str] = {}
     for m in modules:

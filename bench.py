@@ -98,6 +98,12 @@ HEADLINE = [
     # multimodal plumbing
     "multimodal_meta",
     "multimodal_frames",
+    # AI transform family (deterministic task analogs)
+    "ai_sentiment",
+    "ai_classify",
+    "ai_keywords",
+    "ai_summarize",
+    "ai_embed_hash",
     # relational shell
     "events_by_type",
     "events_user_sessions",

@@ -14,7 +14,7 @@ _MODULES = (
     "corpus_filter", "lm_filter", "bpe", "index", "cluster", "web",
     "graph", "packing",
     "diff", "dedup", "similarity", "multimodal", "relational", "bloom",
-    "classify", "hll", "zorder", "cms", "chunking",
+    "classify", "hll", "zorder", "cms", "chunking", "ai_transform",
 )
 
 
