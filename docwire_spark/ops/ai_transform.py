@@ -505,37 +505,39 @@ def embed_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``array<bigint>``; the registered query projects the canonical
     CSV form (see ai_embed_hash).  Scale: one explode + a
     (doc, bucket) hash-agg + a per-doc hash-agg — state bounded by
-    documents x EMB_DIM, no window, no join."""
+    documents x EMB_DIM, no window, no join: explode_outer keeps a
+    NULL-token row for empty documents (bucket -1, excluded from the
+    counts), so zero-filling needs no join back to the corpus —
+    without it the plan carries a corpus-sized primary-key join just
+    to re-emit token-free rows."""
     docs = with_tokens(load(spark, sf_dir, "documents", parallelize=True))
     bucket = hash_expr("token", 0, EMB_DIM)
     cnt = (
-        docs.select("doc_id", F.explode("tokens").alias("token"))
-        .selectExpr("doc_id", f"{bucket} AS bucket")
+        docs.select("doc_id", F.explode_outer("tokens").alias("token"))
+        .selectExpr(
+            "doc_id",
+            f"CASE WHEN token IS NULL THEN CAST(-1 AS BIGINT)"
+            f" ELSE {bucket} END AS bucket",
+        )
         .groupBy("doc_id", "bucket")
         .agg(F.count("*").cast("bigint").alias("c"))
     )
-    per = cnt.groupBy("doc_id").agg(
-        F.sum("c").cast("bigint").alias("n_tokens"),
-        F.sum(F.expr("c * c")).cast("bigint").alias("norm_sq"),
+    return cnt.groupBy("doc_id").agg(
+        F.sum(F.expr("IF(bucket = -1, CAST(0 AS BIGINT), c)"))
+        .cast("bigint").alias("n_tokens"),
+        F.sum(F.expr("IF(bucket = -1, CAST(0 AS BIGINT), c * c)"))
+        .cast("bigint").alias("norm_sq"),
+        # collect_list drops the NULLed sentinel entries, so an empty
+        # document yields an empty map -> all-zero vector
         F.expr(
-            "map_from_entries(collect_list(struct(bucket, c)))"
+            "map_from_entries(collect_list("
+            "IF(bucket = -1, NULL, struct(bucket, c))))"
         ).alias("m"),
     ).selectExpr(
         "doc_id", "n_tokens", "norm_sq",
         f"transform(sequence(0, {EMB_DIM - 1}),"
         " b -> coalesce(element_at(m, CAST(b AS BIGINT)),"
         " CAST(0 AS BIGINT))) AS emb",
-    )
-    zeros = f"array_repeat(CAST(0 AS BIGINT), {EMB_DIM})"
-    return (
-        docs.select("doc_id")
-        .join(per, "doc_id", "left")
-        .selectExpr(
-            "doc_id",
-            "CAST(coalesce(n_tokens, 0) AS BIGINT) AS n_tokens",
-            "CAST(coalesce(norm_sq, 0) AS BIGINT) AS norm_sq",
-            f"coalesce(emb, {zeros}) AS emb",
-        )
     )
 
 
