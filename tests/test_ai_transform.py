@@ -156,9 +156,11 @@ def mock_openai():
 def test_chat_backend_roundtrip(mock_openai):
     b = AB.OpenAIChatBackend(AB.summarize_prompt(), api_key="sk-test",
                              base_url=mock_openai)
-    # content + '\n' exactly as chat.cpp:186; NULL passes through
-    assert b.complete(["abc", None, "x y"]) == [
-        "R:ABC\n", None, "R:X Y\n"
+    # content + '\n' exactly as chat.cpp:186; NULL passes through;
+    # non-ASCII survives the byte-length/char-length boundary
+    # (Content-Length is bytes, JSON content is chars)
+    assert b.complete(["abc", None, "x y", "héllo ☃"]) == [
+        "R:ABC\n", None, "R:X Y\n", "R:HÉLLO ☃\n"
     ]
     b.close()
     assert "Bearer sk-test" in _MockOpenAI.seen_auth
