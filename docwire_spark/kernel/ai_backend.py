@@ -2,9 +2,9 @@
 
 The reference's AI chain elements are thin wrappers over two wire
 protocols: ``openai::chat`` builds a chat-completions request, POSTs
-it, and emits ``choices[0].message.content`` (src/chat.cpp:95-186),
+it, and emits ``choices[0].message.content`` (src/chat.cpp:97-190),
 and ``openai::embed`` builds an embeddings request and emits
-``data[0].embedding`` (src/embed.cpp:78-127).  Every task-specific
+``data[0].embedding`` (src/embed.cpp:67-116).  Every task-specific
 element — summarize, detect_sentiment, classify, translate_to,
 extract_entities, extract_keywords, analyze_data, find — is ``chat``
 with a fixed system message (src/summarize.cpp:23-27,
@@ -35,20 +35,20 @@ from __future__ import annotations
 import json
 from urllib.parse import urlsplit
 
-#: chat models the reference enumerates (chat.cpp:62-81); the gpt-5
+#: chat models the reference enumerates (chat.cpp:61-81); the gpt-5
 #: family rejects non-default temperatures, so prepare_chat_query
-#: coerces them to 1 exactly as chat.cpp:117 does
+#: coerces them to 1 exactly as chat.cpp:121 does
 GPT5_FAMILY = ("gpt-5", "gpt-5-mini", "gpt-5-nano")
 
-#: embeddings models (embed.cpp:64-70)
+#: embeddings models (embed.cpp:58-64)
 EMBED_MODELS = (
     "text-embedding-3-small",
     "text-embedding-3-large",
     "text-embedding-ada-002",
 )
 
-CHAT_PATH = "/v1/chat/completions"   # chat.cpp:126
-EMBED_PATH = "/v1/embeddings"        # embed.cpp:96
+CHAT_PATH = "/v1/chat/completions"   # chat.cpp:133
+EMBED_PATH = "/v1/embeddings"        # embed.cpp:85
 
 
 # --------------------------------------------------------------------------
@@ -138,10 +138,10 @@ def prepare_chat_query(
     image_detail: str = "auto",
     is_image_url: bool = False,
 ) -> str:
-    """Chat-completions request JSON (chat.cpp:95-117): system +
+    """Chat-completions request JSON (chat.cpp:97-123): system +
     user message, temperature coerced to 1 for the gpt-5 family;
     image inputs ride as an image_url content part with the detail
-    hint (chat.cpp:98-110)."""
+    hint (chat.cpp:104-118)."""
     if is_image_url:
         content = [
             {
@@ -163,14 +163,14 @@ def prepare_chat_query(
 
 
 def image_data_url(data: bytes) -> str:
-    """Image payloads become base64 data URLs (chat.cpp:170-175)."""
+    """Image payloads become base64 data URLs (chat.cpp:176-183)."""
     import base64
 
     return "data:image/*;base64," + base64.b64encode(data).decode()
 
 
 def parse_chat_response(response: str) -> str:
-    """``choices[0].message.content`` (chat.cpp:139-150)."""
+    """``choices[0].message.content`` (chat.cpp:144-157)."""
     val = json.loads(response)
     return val["choices"][0]["message"]["content"]
 
@@ -178,12 +178,12 @@ def parse_chat_response(response: str) -> str:
 def prepare_embed_query(
     input_text: str, model: str = "text-embedding-3-small"
 ) -> str:
-    """Embeddings request JSON (embed.cpp:78-88)."""
+    """Embeddings request JSON (embed.cpp:67-77)."""
     return json.dumps({"model": model, "input": input_text})
 
 
 def parse_embed_response(response: str) -> list:
-    """``data[0].embedding`` (embed.cpp:108-127)."""
+    """``data[0].embedding`` (embed.cpp:95-116)."""
     val = json.loads(response)
     return list(val["data"][0]["embedding"])
 
@@ -219,7 +219,7 @@ class _HttpJsonClient:
 
         headers = {
             "User-Agent": USER_AGENT,
-            "Content-Type": "application/json",  # chat.cpp:128
+            "Content-Type": "application/json",  # the wire contract of chat.cpp:130-135
         }
         if self._api_key:  # Bearer auth, post.cpp:125-130
             headers["Authorization"] = f"Bearer {self._api_key}"
@@ -259,7 +259,7 @@ class _HttpJsonClient:
 class OpenAIChatBackend:
     """The ``openai::chat`` transport (chat.cpp): per message, build
     the request, POST, parse, and append ``'\\n'`` to the content
-    exactly as chat.cpp:186 does.  ``base_url`` defaults to the
+    exactly as chat.cpp:189 does.  ``base_url`` defaults to the
     public endpoint; tests point it at a local mock server."""
 
     def __init__(self, system_message: str, api_key: str = "",
@@ -278,7 +278,7 @@ class OpenAIChatBackend:
         for msg in user_msgs:
             if msg is None:
                 # NULL payloads pass through untouched, the chain
-                # element's non-data_source behavior (chat.cpp:157-158)
+                # element's non-data_source behavior (chat.cpp:162-163)
                 out.append(None)
                 continue
             is_image = isinstance(msg, (bytes, bytearray))
@@ -297,7 +297,7 @@ class OpenAIChatBackend:
 
 
 class OpenAIEmbedBackend:
-    """The ``openai::embed`` transport (embed.cpp:129-141): text/plain
+    """The ``openai::embed`` transport (embed.cpp:118-130): text/plain
     payloads only there; NULLs pass through here as NULL vectors."""
 
     def __init__(self, api_key: str = "",

@@ -69,14 +69,14 @@ def chat_transform(
     out_col: str = "completion",
 ) -> DataFrame:
     """Run every row's ``text_col`` through a chat backend — the
-    ``openai::chat`` chain element (chat.cpp:154-187) and every
+    ``openai::chat`` chain element (chat.cpp:160-190) and every
     fixed-prompt element derived from it (summarize, translate_to,
     classify, ...; pass the matching kernel/ai_backend.py prompt to
     the backend).  ``backend_factory`` is a picklable zero-arg
     callable constructed PER PARTITION on the executor, so the
     backend's connection never crosses the driver/executor boundary.
     NULL payloads pass through as NULL completions (the chain
-    element's non-data_source pass-through, chat.cpp:157-158)."""
+    element's non-data_source pass-through, chat.cpp:162-163)."""
     import pyarrow as pa
 
     schema = StructType(
@@ -108,7 +108,7 @@ def embed_transform(
     text_col: str = "text",
     out_col: str = "embedding",
 ) -> DataFrame:
-    """``openai::embed`` (embed.cpp:129-141) as a batched column
+    """``openai::embed`` (embed.cpp:118-130) as a batched column
     transform: text in, ``array<double>`` embedding out."""
     import pyarrow as pa
 
@@ -494,7 +494,7 @@ FROM t LEFT JOIN agg USING (doc_id)
 
 def embed_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature-hashing text embedder — the model-free analog of
-    ``openai::embed`` (embed.cpp:129-141) and the classical baseline
+    ``openai::embed`` (embed.cpp:118-130) and the classical baseline
     it stands in for (the Vowpal-Wabbit / scikit-learn hashing
     trick): every token hashes into one of EMB_DIM buckets and the
     document's embedding is the bucket-count vector.  Counts stay

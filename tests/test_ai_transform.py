@@ -38,7 +38,7 @@ def test_chat_query_shape():
 
 
 def test_chat_query_gpt5_temperature_coerced_to_1():
-    # chat.cpp:117 — the gpt-5 family rejects non-default temperature
+    # chat.cpp:121 — the gpt-5 family rejects non-default temperature
     for m in AB.GPT5_FAMILY:
         assert json.loads(AB.prepare_chat_query("s", "u", m, 0.3))[
             "temperature"
@@ -156,7 +156,7 @@ def mock_openai():
 def test_chat_backend_roundtrip(mock_openai):
     b = AB.OpenAIChatBackend(AB.summarize_prompt(), api_key="sk-test",
                              base_url=mock_openai)
-    # content + '\n' exactly as chat.cpp:186; NULL passes through;
+    # content + '\n' exactly as chat.cpp:189; NULL passes through;
     # non-ASCII survives the byte-length/char-length boundary
     # (Content-Length is bytes, JSON content is chars)
     assert b.complete(["abc", None, "x y", "héllo ☃"]) == [
