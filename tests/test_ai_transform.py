@@ -49,7 +49,7 @@ def test_chat_query_gpt5_temperature_coerced_to_1():
 
 
 def test_chat_query_image_branch():
-    # chat.cpp:98-110 — image rides as an image_url part with detail
+    # chat.cpp:104-118 — image rides as an image_url part with detail
     url = AB.image_data_url(b"\x89PNG")
     assert url.startswith("data:image/*;base64,")
     q = json.loads(
@@ -310,3 +310,58 @@ def test_embed_hash_counts_and_zero_doc(spark, tmp_path):
            for r in AT.embed_hashing(spark, d).collect()}
     assert arr[0][_bucket("merge")] == 2
     assert arr[1] == [0] * AT.EMB_DIM
+
+
+# --------------------------------------------------------------------------
+# codec properties — any text survives the wire shapes (JSON escaping
+# of quotes/control chars/unicode is where a hand-rolled codec breaks)
+# --------------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+@settings(max_examples=60, deadline=None)
+@given(sys_msg=st.text(max_size=200), user_msg=st.text(max_size=500),
+       temp=st.floats(0, 2, allow_nan=False))
+def test_chat_query_roundtrips_any_text(sys_msg, user_msg, temp):
+    q = json.loads(AB.prepare_chat_query(sys_msg, user_msg, "gpt-4o", temp))
+    assert q["messages"][0]["content"] == sys_msg
+    assert q["messages"][1]["content"] == user_msg
+    assert q["temperature"] == temp
+
+
+@settings(max_examples=60, deadline=None)
+@given(content=st.text(max_size=500))
+def test_chat_response_parse_inverts_any_content(content):
+    resp = json.dumps({"choices": [{"message": {"content": content}}]})
+    assert AB.parse_chat_response(resp) == content
+
+
+@settings(max_examples=60, deadline=None)
+@given(text=st.text(max_size=500),
+       vec=st.lists(st.floats(allow_nan=False, allow_infinity=False,
+                              width=32), max_size=16))
+def test_embed_codecs_roundtrip_any_payload(text, vec):
+    assert json.loads(AB.prepare_embed_query(text))["input"] == text
+    resp = json.dumps({"data": [{"embedding": vec}]})
+    assert AB.parse_embed_response(resp) == vec
+
+
+@settings(max_examples=60, deadline=None)
+@given(data=st.binary(max_size=256))
+def test_image_data_url_decodes_back(data):
+    import base64
+
+    url = AB.image_data_url(data)
+    assert base64.b64decode(url.split(",", 1)[1]) == data
+
+
+@settings(max_examples=40, deadline=None)
+@given(cats=st.sets(st.text(
+    alphabet=st.characters(blacklist_characters=",",
+                           blacklist_categories=("Cs",)),
+    min_size=1, max_size=20), min_size=1, max_size=6))
+def test_classify_prompt_joins_sorted_like_std_set(cats):
+    p = AB.classify_prompt(cats)
+    joined = p.split("categories: ", 1)[1].rsplit(". Answer", 1)[0]
+    assert joined == ", ".join(sorted(cats))
