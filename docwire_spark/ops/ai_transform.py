@@ -79,6 +79,9 @@ def chat_transform(
     element's non-data_source pass-through, chat.cpp:162-163)."""
     import pyarrow as pa
 
+    if text_col not in df.columns:
+        raise KeyError(f"chat_transform: no column {text_col!r} in"
+                       f" {df.columns}")
     schema = StructType(
         list(df.schema.fields) + [StructField(out_col, StringType())]
     )
@@ -88,6 +91,11 @@ def chat_transform(
         try:
             for batch in batches:
                 idx = batch.schema.get_field_index(text_col)
+                if idx < 0:  # -1 would silently index the LAST column
+                    raise KeyError(
+                        f"chat_transform: no column {text_col!r} in batch"
+                        f" schema {batch.schema.names}"
+                    )
                 comps = backend.complete(batch.column(idx).to_pylist())
                 yield pa.RecordBatch.from_arrays(
                     list(batch.columns)
@@ -112,6 +120,9 @@ def embed_transform(
     transform: text in, ``array<double>`` embedding out."""
     import pyarrow as pa
 
+    if text_col not in df.columns:
+        raise KeyError(f"embed_transform: no column {text_col!r} in"
+                       f" {df.columns}")
     schema = StructType(
         list(df.schema.fields)
         + [StructField(out_col, ArrayType(DoubleType()))]
@@ -122,6 +133,11 @@ def embed_transform(
         try:
             for batch in batches:
                 idx = batch.schema.get_field_index(text_col)
+                if idx < 0:  # -1 would silently index the LAST column
+                    raise KeyError(
+                        f"embed_transform: no column {text_col!r} in batch"
+                        f" schema {batch.schema.names}"
+                    )
                 vecs = backend.embed(batch.column(idx).to_pylist())
                 yield pa.RecordBatch.from_arrays(
                     list(batch.columns)

@@ -365,3 +365,11 @@ def test_classify_prompt_joins_sorted_like_std_set(cats):
     p = AB.classify_prompt(cats)
     joined = p.split("categories: ", 1)[1].rsplit(". Answer", 1)[0]
     assert joined == ", ".join(sorted(cats))
+
+
+def test_transforms_fail_fast_on_missing_text_column(spark):
+    df = spark.createDataFrame([(1, "x")], "id int, body string")
+    with pytest.raises(KeyError, match="chat_transform"):
+        AT.chat_transform(df, lambda: None)
+    with pytest.raises(KeyError, match="embed_transform"):
+        AT.embed_transform(df, lambda: None)

@@ -117,3 +117,89 @@ def test_http_post_forwarding(echo_server):
                    "--http-post", echo_server + "/sink")
     assert proc.returncode == 0, proc.stderr
     assert proc.stdout == expected
+
+
+@pytest.fixture()
+def mock_ai_server():
+    """Minimal OpenAI-wire endpoint: chat echoes the system prompt's
+    first word + upper-cased user text; embeddings return [len]."""
+    import http.server
+    import json
+    import threading
+
+    class H(http.server.BaseHTTPRequestHandler):
+        def do_POST(self):
+            n = int(self.headers.get("Content-Length", 0))
+            req = json.loads(self.rfile.read(n))
+            if self.path == "/v1/chat/completions":
+                sys_msg = req["messages"][0]["content"]
+                user = req["messages"][1]["content"]
+                out = {"choices": [{"message": {
+                    "content": f"[{sys_msg.split()[4]}|t={req['temperature']}"
+                               f"|m={req['model']}] {user.upper()}"
+                }}]}
+            else:
+                out = {"data": [{"embedding": [float(len(req["input"]))]}]}
+            p = json.dumps(out).encode()
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(p)))
+            self.end_headers()
+            self.wfile.write(p)
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), H)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+
+
+def test_openai_summarize_chains_after_exporter(mock_ai_server, tmp_path):
+    # reference chain: exporter output feeds openai::summarize
+    # (docwire.cpp:373-383); CLI temperature defaults to 0 and model
+    # to gpt-5 (docwire.cpp:188,345) -> the gpt-5 family coerces
+    # temperature to 1 in the request (chat.cpp:121)
+    f = tmp_path / "d.html"
+    f.write_bytes(b"<html><body><p>hello there</p></body></html>")
+    proc = run_cli("--openai-summarize",
+                   "--openai-base-url", mock_ai_server, str(f))
+    assert proc.returncode == 0, proc.stderr
+    assert proc.stdout == b"[summarize|t=1|m=gpt-5] HELLO THERE\n\n\n"
+
+
+def test_openai_transforms_stack_in_reference_order(mock_ai_server,
+                                                    tmp_path):
+    f = tmp_path / "d.txt"
+    f.write_bytes(b"abc")
+    proc = run_cli("--openai-detect-sentiment", "--openai-summarize",
+                   "--openai-model", "gpt-4o",
+                   "--openai-temperature", "0.5",
+                   "--openai-base-url", mock_ai_server, str(f))
+    assert proc.returncode == 0, proc.stderr
+    # summarize runs FIRST (docwire.cpp applies the ifs in declared
+    # order: keywords/summarize before detect-sentiment), then
+    # sentiment sees summarize's output
+    assert proc.stdout == (
+        b"[detect|t=0.5|m=gpt-4o] [SUMMARIZE|T=0.5|M=GPT-4O] ABC\n\n\n\n"
+    )
+
+
+def test_openai_embed_prints_json_vector(mock_ai_server, tmp_path):
+    f = tmp_path / "d.txt"
+    f.write_bytes(b"abcd")
+    proc = run_cli("--openai-embed",
+                   "--openai-base-url", mock_ai_server, str(f))
+    assert proc.returncode == 0, proc.stderr
+    # extracted text is "abcd\n\n" (6 chars) -> embedding [6.0]
+    assert proc.stdout == b"[6.0]\n"
+
+
+def test_env_blocked_ai_options_fail_loudly(tmp_path):
+    f = tmp_path / "d.txt"
+    f.write_bytes(b"x")
+    for flag in (["--openai-transcribe"], ["--openai-text-to-speech"],
+                 ["--local-ai-prompt", "p"]):
+        proc = run_cli(*flag, str(f))
+        assert proc.returncode == 1
+        assert b"Error:" in proc.stderr
