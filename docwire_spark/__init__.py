@@ -15,7 +15,9 @@ DocWire SDK (reference: silver-byte/docwire), re-expressed Spark-first:
   search over embeddings, language id, quality scoring, tokenization,
   fingerprinting.
 - ``ops``      — the oracle-checked corpus operator registry (dedup,
-  similarity/ANN, LM filtering, packing, web-graph, WARC, streaming).
+  similarity/ANN, LM filtering, packing, web-graph, WARC, streaming,
+  the AI transform family: batched model-backend chat/embed plus
+  deterministic task analogs).
 - ``serve``    — the HTTP edge surface (pipeline-over-POST server and
   the ``http::post`` element); ``cli`` — the single-document
   ``python -m docwire_spark`` command.
