@@ -134,7 +134,8 @@ def build_parser() -> argparse.ArgumentParser:
                     help="image detail hint")
     ai.add_argument("--openai-base-url", default="https://api.openai.com",
                     metavar="URL",
-                    help="OpenAI-wire endpoint to POST to")
+                    help="OpenAI-wire endpoint to POST to (a trailing "
+                    "/v1 is accepted and normalized)")
     ai.add_argument("--local-ai-prompt", metavar="PROMPT",
                     help="prompt for a local AI model (env-blocked: no "
                     "model weights/ct2 runtime in this build)")
@@ -150,12 +151,14 @@ def _ai_chain(args) -> list:
     order (docwire.cpp:337-430)."""
     from docwire_spark.kernel import ai_backend as AB
 
+    # presence of the option selects the transform, whatever its
+    # value — "if args.x:" would silently drop e.g. keywords 0
     chain = []
-    if args.openai_chat:
+    if args.openai_chat is not None:
         chain.append(args.openai_chat)
     if args.openai_extract_entities:
         chain.append(AB.extract_entities_prompt())
-    if args.openai_extract_keywords:
+    if args.openai_extract_keywords is not None:
         chain.append(AB.extract_keywords_prompt(args.openai_extract_keywords))
     if args.openai_summarize:
         chain.append(AB.summarize_prompt())
@@ -165,9 +168,9 @@ def _ai_chain(args) -> list:
         chain.append(AB.analyze_data_prompt())
     if args.openai_classify:
         chain.append(AB.classify_prompt(args.openai_classify))
-    if args.openai_translate_to:
+    if args.openai_translate_to is not None:
         chain.append(AB.translate_to_prompt(args.openai_translate_to))
-    if args.openai_find:
+    if args.openai_find is not None:
         chain.append(AB.find_prompt(args.openai_find))
     return chain
 
@@ -176,6 +179,22 @@ def main(argv: list | None = None) -> int:
     from docwire_spark.kernel.api import extract
 
     args = build_parser().parse_args(argv)
+
+    # always-fatal option combinations are rejected BEFORE any work —
+    # extraction and especially the --http-post side effect must not
+    # fire for a command that can only fail
+    if args.openai_text_to_speech or args.openai_transcribe:
+        print("Error: text_to_speech/transcribe need audio codecs,"
+              " which this build does not bundle", file=sys.stderr)
+        return 1
+    if args.local_ai_prompt is not None:
+        from docwire_spark.kernel.ai_backend import LocalModelBackend
+
+        try:
+            LocalModelBackend(args.local_ai_prompt)
+        except NotImplementedError as exc:
+            print(f"Error: {exc}", file=sys.stderr)
+            return 1
 
     if args.input_file == "-":
         data = sys.stdin.buffer.read()
@@ -227,21 +246,10 @@ def main(argv: list | None = None) -> int:
             print(f"Error: {exc}", file=sys.stderr)
             return 1
 
-    if args.openai_text_to_speech or args.openai_transcribe:
-        print("Error: text_to_speech/transcribe need audio codecs,"
-              " which this build does not bundle", file=sys.stderr)
-        return 1
-    if args.local_ai_prompt:
-        from docwire_spark.kernel.ai_backend import LocalModelBackend
-
-        try:
-            LocalModelBackend(args.local_ai_prompt)
-        except NotImplementedError as exc:
-            print(f"Error: {exc}", file=sys.stderr)
-            return 1
-
     ai_prompts = _ai_chain(args)
     if ai_prompts or args.openai_embed:
+        import http.client
+
         from docwire_spark.kernel.ai_backend import (
             OpenAIChatBackend, OpenAIEmbedBackend,
         )
@@ -276,8 +284,11 @@ def main(argv: list | None = None) -> int:
                 finally:
                     backend.close()
                 text = _json.dumps(vec) + "\n"
-        except (RuntimeError, OSError, KeyError, ValueError) as exc:
-            print(f"Error: {exc}", file=sys.stderr)
+        except (RuntimeError, OSError, LookupError, TypeError,
+                ValueError, http.client.HTTPException) as exc:
+            # LookupError: empty choices/data arrays; TypeError:
+            # content null; HTTPException: truncated/garbage replies
+            print(f"Error: {type(exc).__name__}: {exc}", file=sys.stderr)
             return 1
         out = text.encode()
 

@@ -67,10 +67,10 @@ def detect_sentiment_prompt() -> str:
 
 def classify_prompt(categories) -> str:
     """src/classify.cpp:28-30 — ``categories`` is a std::set there,
-    so the joined order is the sorted order."""
+    so the joined form is deduplicated and sorted."""
     return (
         "Your task is to classify every message to one of the following"
-        " categories: " + ", ".join(sorted(categories))
+        " categories: " + ", ".join(sorted(set(categories)))
         + ". Answer with the category name only, exactly as it was written."
     )
 
@@ -207,7 +207,13 @@ class _HttpJsonClient:
         self._port = parts.port or (
             443 if self._scheme == "https" else 80
         )
-        self._prefix = parts.path.rstrip("/")
+        prefix = parts.path.rstrip("/")
+        # the conventional OpenAI-compatible form carries a /v1 suffix
+        # (vLLM/Ollama/OPENAI_BASE_URL); our request paths already
+        # start with /v1, so strip it rather than POST /v1/v1/...
+        if prefix.endswith("/v1"):
+            prefix = prefix[:-3]
+        self._prefix = prefix
         self._api_key = api_key
         self._timeout = timeout
         self._conn = None
@@ -215,10 +221,12 @@ class _HttpJsonClient:
     def post(self, path: str, body: str) -> str:
         import http.client
 
-        from docwire_spark.serve import USER_AGENT
+        # NOT serve.USER_AGENT: importing serve would drag the whole
+        # extraction kernel into every executor that only chats
+        from docwire_spark import __version__
 
         headers = {
-            "User-Agent": USER_AGENT,
+            "User-Agent": f"docwire-spark/{__version__}",
             "Content-Type": "application/json",  # the wire contract of chat.cpp:130-135
         }
         if self._api_key:  # Bearer auth, post.cpp:125-130
@@ -245,8 +253,10 @@ class _HttpJsonClient:
                     raise
         data = resp.read()
         if not 200 <= resp.status <= 299:  # non-2xx raises, post.cpp:182
+            detail = data[:300].decode("utf-8", "replace").strip()
             raise RuntimeError(
                 f"Server returned an error status code: {resp.status}"
+                + (f" {detail}" if detail else "")
             )
         return data.decode()
 

@@ -82,6 +82,9 @@ def chat_transform(
     if text_col not in df.columns:
         raise KeyError(f"chat_transform: no column {text_col!r} in"
                        f" {df.columns}")
+    if out_col in df.columns:
+        raise ValueError(f"chat_transform: output column {out_col!r}"
+                         " already exists")
     schema = StructType(
         list(df.schema.fields) + [StructField(out_col, StringType())]
     )
@@ -123,6 +126,9 @@ def embed_transform(
     if text_col not in df.columns:
         raise KeyError(f"embed_transform: no column {text_col!r} in"
                        f" {df.columns}")
+    if out_col in df.columns:
+        raise ValueError(f"embed_transform: output column {out_col!r}"
+                         " already exists")
     schema = StructType(
         list(df.schema.fields)
         + [StructField(out_col, ArrayType(DoubleType()))]

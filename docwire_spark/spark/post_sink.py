@@ -19,7 +19,11 @@ from __future__ import annotations
 
 from urllib.parse import urlsplit
 
-from docwire_spark.serve import USER_AGENT
+# NOT serve.USER_AGENT: importing serve would drag the whole
+# extraction kernel into every executor that only delivers rows
+from docwire_spark import __version__
+
+USER_AGENT = f"docwire-spark/{__version__}"
 
 
 def post_rows(

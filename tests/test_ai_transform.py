@@ -373,3 +373,29 @@ def test_transforms_fail_fast_on_missing_text_column(spark):
         AT.chat_transform(df, lambda: None)
     with pytest.raises(KeyError, match="embed_transform"):
         AT.embed_transform(df, lambda: None)
+
+
+def test_classify_prompt_dedups_like_std_set():
+    assert AB.classify_prompt(["news", "news", "sports"]) == \
+        AB.classify_prompt(["sports", "news"])
+
+
+def test_base_url_with_v1_suffix_is_normalized(mock_openai):
+    b = AB.OpenAIChatBackend("sys", base_url=mock_openai + "/v1")
+    assert b.complete(["ok"]) == ["R:OK\n"]
+    b.close()
+
+
+def test_non_2xx_error_includes_body_detail(mock_openai):
+    b = AB.OpenAIChatBackend("sys", base_url=mock_openai)
+    with pytest.raises(RuntimeError, match="404"):
+        b._client.post("/nope", "{}")
+    b.close()
+
+
+def test_transforms_reject_colliding_out_col(spark):
+    df = spark.createDataFrame([(1, "x")], "id int, text string")
+    with pytest.raises(ValueError, match="already exists"):
+        AT.chat_transform(df, lambda: None, out_col="text")
+    with pytest.raises(ValueError, match="already exists"):
+        AT.embed_transform(df, lambda: None, out_col="id")

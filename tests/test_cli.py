@@ -203,3 +203,42 @@ def test_env_blocked_ai_options_fail_loudly(tmp_path):
         proc = run_cli(*flag, str(f))
         assert proc.returncode == 1
         assert b"Error:" in proc.stderr
+
+
+def test_env_blocked_ai_options_rejected_before_any_work(tmp_path):
+    # the always-fatal flag must fail BEFORE extraction or --http-post
+    # side effects: even a nonexistent input file is never touched
+    proc = run_cli("--openai-transcribe", "--http-post",
+                   "http://127.0.0.1:9/never", str(tmp_path / "missing"))
+    assert proc.returncode == 1
+    assert b"audio codecs" in proc.stderr
+
+
+def test_malformed_endpoint_reply_exits_1(tmp_path):
+    import http.server
+    import threading
+
+    class H(http.server.BaseHTTPRequestHandler):
+        def do_POST(self):
+            self.rfile.read(int(self.headers.get("Content-Length", 0)))
+            p = b'{"choices": []}'  # 200 with an empty choices array
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(p)))
+            self.end_headers()
+            self.wfile.write(p)
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), H)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        f = tmp_path / "d.txt"
+        f.write_bytes(b"x")
+        proc = run_cli(
+            "--openai-summarize", "--openai-base-url",
+            f"http://127.0.0.1:{srv.server_address[1]}", str(f))
+        assert proc.returncode == 1
+        assert b"Error:" in proc.stderr and b"Traceback" not in proc.stderr
+    finally:
+        srv.shutdown()
